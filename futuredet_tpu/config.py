@@ -1,0 +1,284 @@
+"""Configuration system: typed dataclasses + a named-config registry.
+
+Mirrors the public config surface of the reference
+(`/root/reference/configs/centerpoint/*.py`, model names resolved by
+`/root/reference/train.py:23-25` / `evaluate.py:136-138`) but as plain frozen
+dataclasses — pytree-friendly, hashable, and usable as static args to `jax.jit`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+
+def _t(x) -> tuple:
+    return tuple(x)
+
+
+@dataclass(frozen=True)
+class VoxelConfig:
+    """Voxelization grid (ref: configs/.../n3dtf voxel_generator, lines 160-166)."""
+    pc_range: Tuple[float, ...] = (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0)
+    voxel_size: Tuple[float, ...] = (0.075, 0.075, 0.2)
+    max_points_per_voxel: int = 10
+    max_voxels_train: int = 120000
+    max_voxels_eval: int = 160000
+    # total points kept after sweep aggregation (fixed-shape input budget)
+    max_points: int = 300000
+
+    @property
+    def grid_size(self) -> Tuple[int, int, int]:
+        gx = round((self.pc_range[3] - self.pc_range[0]) / self.voxel_size[0])
+        gy = round((self.pc_range[4] - self.pc_range[1]) / self.voxel_size[1])
+        gz = round((self.pc_range[5] - self.pc_range[2]) / self.voxel_size[2])
+        return (gx, gy, gz)
+
+
+@dataclass(frozen=True)
+class HeadSpec:
+    """One regression branch of a SepHead: (out_channels, num_convs).
+
+    ref: common_heads in configs (e.g. `reg: (2, 2)`), consumed at
+    det3d/models/bbox_heads/center_head.py:129-152.
+    """
+    channels: int
+    num_convs: int
+
+
+@dataclass(frozen=True)
+class HeadConfig:
+    """CenterHead mode flags + shapes (ref: center_head.py:233-334)."""
+    tasks: Tuple[Tuple[str, ...], ...] = (("car",),)
+    in_channels: int = 512
+    share_conv_channel: int = 64
+    common_heads: Tuple[Tuple[str, Tuple[int, int]], ...] = (
+        ("reg", (2, 2)), ("height", (1, 2)), ("dim", (3, 2)),
+        ("rot", (2, 2)), ("vel", (2, 2)),
+    )
+    weight: float = 0.25                       # hm vs. loc loss weight
+    code_weights: Tuple[float, ...] = (1.0,) * 10
+    timesteps: int = 1
+    target_timesteps: int = 7
+    # mode flags (ref: center_head.py:258-271)
+    two_stage: bool = False
+    reverse: bool = False
+    sparse: bool = False
+    dense: bool = False
+    bev_map: bool = False
+    forecast_feature: bool = False
+    classify: bool = False
+    wide_head: bool = False
+    init_bias: float = -2.19
+    num_hm_conv: int = 2
+
+    @property
+    def standard(self) -> bool:
+        return not (self.reverse or self.sparse or self.dense
+                    or self.classify or self.wide_head)
+
+    @property
+    def num_classes(self) -> Tuple[int, ...]:
+        """Per-task heatmap channel counts (ref: center_head.py:321-334)."""
+        if self.sparse:
+            return (1,) * 2
+        if self.dense:
+            return (1,) * self.timesteps
+        if self.classify:
+            return (3,) * self.timesteps
+        if self.wide_head:
+            return (7,)
+        return tuple(len(t) for t in self.tasks)
+
+    @property
+    def effective_share_channel(self) -> int:
+        return 512 if self.wide_head else self.share_conv_channel
+
+    @property
+    def code_weights_forecast(self) -> Tuple[float, ...]:
+        """Future-timestep weights: zero all but velocity (ref: :280-288)."""
+        mask = [0, 0, 0, 0, 0, 0, 1, 1, 0, 0]
+        return tuple(w * m for w, m in zip(self.code_weights, mask))
+
+
+@dataclass(frozen=True)
+class AssignerConfig:
+    """Target assignment (ref: configs assigner dict + AssignLabel)."""
+    out_size_factor: int = 8
+    gaussian_overlap: float = 0.1
+    max_objs: int = 500
+    min_radius: int = 2
+    radius_mult: bool = True
+    sampler_type: str = "standard"   # or "trajectory"
+
+
+@dataclass(frozen=True)
+class NMSConfig:
+    """ref: test_cfg.nms in configs."""
+    pre_max_size: int = 1000
+    post_max_size: int = 83
+    iou_threshold: float = 0.2
+
+
+@dataclass(frozen=True)
+class TestConfig:
+    post_center_limit_range: Tuple[float, ...] = (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0)
+    max_per_img: int = 500
+    score_threshold: float = 0.1
+    nms: NMSConfig = field(default_factory=NMSConfig)
+    circular_nms: bool = False
+    min_radius: Tuple[float, ...] = (4.0,)
+
+
+@dataclass(frozen=True)
+class RPNConfig:
+    """BEV neck (ref: configs model.neck)."""
+    layer_nums: Tuple[int, ...] = (5, 5)
+    ds_strides: Tuple[int, ...] = (1, 2)
+    ds_filters: Tuple[int, ...] = (128, 256)
+    us_strides: Tuple[int, ...] = (1, 2)
+    us_filters: Tuple[int, ...] = (256, 256)
+    in_channels: int = 256
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    detector: str = "voxelnet"        # "voxelnet" | "pointpillars"
+    reader: str = "mean_vfe"          # "mean_vfe" | "pillar_feature_net"
+    num_input_features: int = 5
+    pillar_filters: Tuple[int, ...] = (64,)
+    rpn: RPNConfig = field(default_factory=RPNConfig)
+    head: HeadConfig = field(default_factory=HeadConfig)
+    # sparse middle encoder channel plan (ref: scn.py:98-146)
+    middle_channels: Tuple[int, ...] = (16, 32, 64, 128)
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """One-cycle Adam (ref: configs optimizer/lr_config, n3dtf:231-238)."""
+    lr_max: float = 1e-3
+    moms: Tuple[float, float] = (0.95, 0.85)
+    div_factor: float = 10.0
+    pct_start: float = 0.4
+    weight_decay: float = 0.01
+    grad_clip_norm: float = 35.0
+    amsgrad: bool = False
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    total_epochs: int = 20
+    batch_size_per_device: int = 1
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    seed: int = 0
+    log_interval: int = 25
+    checkpoint_interval_epochs: int = 1
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "nuscenes"
+    nsweeps: int = 20
+    class_names: Tuple[str, ...] = ("car",)
+    root_path: str = ""
+    sampler_type: str = "standard"
+    global_rot_noise: Tuple[float, float] = (-0.78539816, 0.78539816)
+    global_scale_noise: Tuple[float, float] = (0.9, 1.1)
+    global_translate_std: float = 0.5
+    shuffle_points: bool = True
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "forecast_n0"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    voxel: VoxelConfig = field(default_factory=VoxelConfig)
+    assigner: AssignerConfig = field(default_factory=AssignerConfig)
+    test: TestConfig = field(default_factory=TestConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    timesteps: int = 1
+
+    @property
+    def feature_map_size(self) -> Tuple[int, int]:
+        g = self.voxel.grid_size
+        f = self.assigner.out_size_factor
+        return (g[0] // f, g[1] // f)
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Named configs mirroring the reference config matrix (SURVEY.md §2.8)
+# ---------------------------------------------------------------------------
+
+def _base(classname: str, timesteps: int, dense: bool, forecast_feats: bool,
+          sampler_type: str, detector: str, bev_map: bool = False) -> ExperimentConfig:
+    tasks = ((classname,),)
+    if detector == "pointpillars":
+        # ref: configs/.../pp_forecast_n3dtf: voxel 0.2m, single PFN layer
+        voxel = VoxelConfig(pc_range=(-54.0, -54.0, -5.0, 54.0, 54.0, 3.0),
+                            voxel_size=(0.2, 0.2, 8.0),
+                            max_points_per_voxel=20,
+                            max_voxels_train=30000, max_voxels_eval=60000)
+        rpn = RPNConfig(layer_nums=(3, 5, 5), ds_strides=(2, 2, 2),
+                        ds_filters=(64, 128, 256), us_strides=(0.5, 1, 2),
+                        us_filters=(128, 128, 128), in_channels=64)
+        head_in = 384
+        out_size_factor = 4
+        reader = "pillar_feature_net"
+    else:
+        voxel = VoxelConfig()
+        rpn = RPNConfig()
+        head_in = 512
+        out_size_factor = 8
+        reader = "mean_vfe"
+
+    head = HeadConfig(
+        tasks=tasks, in_channels=head_in, timesteps=timesteps,
+        dense=dense, forecast_feature=forecast_feats, bev_map=bev_map,
+    )
+    return ExperimentConfig(
+        model=ModelConfig(detector=detector, reader=reader, rpn=rpn, head=head),
+        voxel=voxel,
+        assigner=AssignerConfig(out_size_factor=out_size_factor,
+                                sampler_type=sampler_type),
+        data=DataConfig(class_names=(classname,), sampler_type=sampler_type),
+        timesteps=timesteps,
+    )
+
+
+def get_config(name: str) -> ExperimentConfig:
+    """Resolve a reference model name (e.g. 'forecast_n3dtf') to a config.
+
+    Naming mirrors `/root/reference/train.py:23-25`:
+    `{dataset}_centerpoint_{model}_detection`.
+    """
+    classname = "pedestrian" if "pedestrian" in name else "car"
+    detector = "pointpillars" if name.startswith("pp_") else "voxelnet"
+    key = name.replace("pp_", "").replace("pedestrian_", "")
+
+    if key == "forecast_n0":
+        cfg = _base(classname, 1, dense=False, forecast_feats=False,
+                    sampler_type="standard", detector=detector)
+    elif key == "forecast_n3":
+        cfg = _base(classname, 7, dense=False, forecast_feats=False,
+                    sampler_type="standard", detector=detector)
+    elif key == "forecast_n3dtf":
+        cfg = _base(classname, 7, dense=True, forecast_feats=True,
+                    sampler_type="trajectory", detector=detector)
+    elif key == "forecast_n3dtfm":
+        cfg = _base(classname, 7, dense=True, forecast_feats=True,
+                    sampler_type="trajectory", detector=detector, bev_map=True)
+    else:
+        raise KeyError(f"unknown config name: {name}")
+    return cfg.replace(name=name)
+
+
+CONFIG_NAMES = [
+    "forecast_n0", "forecast_n3", "forecast_n3dtf", "forecast_n3dtfm",
+    "pedestrian_forecast_n0", "pedestrian_forecast_n3",
+    "pedestrian_forecast_n3dtf", "pedestrian_forecast_n3dtfm",
+    "pp_forecast_n3dtf", "pp_pedestrian_forecast_n3dtf",
+]
