@@ -217,8 +217,9 @@ def _base(classname: str, timesteps: int, dense: bool, forecast_feats: bool,
           sampler_type: str, detector: str, bev_map: bool = False) -> ExperimentConfig:
     tasks = ((classname,),)
     if detector == "pointpillars":
-        # ref: configs/.../pp_forecast_n3dtf: voxel 0.2m, single PFN layer
-        voxel = VoxelConfig(pc_range=(-54.0, -54.0, -5.0, 54.0, 54.0, 3.0),
+        # ref: configs/.../pp_forecast_n3dtf:38-52,161-162: range ±51.2,
+        # voxel 0.2m, PFN filters [64, 64]
+        voxel = VoxelConfig(pc_range=(-51.2, -51.2, -5.0, 51.2, 51.2, 3.0),
                             voxel_size=(0.2, 0.2, 8.0),
                             max_points_per_voxel=20,
                             max_voxels_train=30000, max_voxels_eval=60000)
@@ -226,6 +227,7 @@ def _base(classname: str, timesteps: int, dense: bool, forecast_feats: bool,
                         ds_filters=(64, 128, 256), us_strides=(0.5, 1, 2),
                         us_filters=(128, 128, 128), in_channels=64)
         head_in = 384
+        pillar_filters = (64, 64)
         out_size_factor = 4
         reader = "pillar_feature_net"
     else:
@@ -234,13 +236,15 @@ def _base(classname: str, timesteps: int, dense: bool, forecast_feats: bool,
         head_in = 512
         out_size_factor = 8
         reader = "mean_vfe"
+        pillar_filters = (64,)
 
     head = HeadConfig(
         tasks=tasks, in_channels=head_in, timesteps=timesteps,
         dense=dense, forecast_feature=forecast_feats, bev_map=bev_map,
     )
     return ExperimentConfig(
-        model=ModelConfig(detector=detector, reader=reader, rpn=rpn, head=head),
+        model=ModelConfig(detector=detector, reader=reader, rpn=rpn, head=head,
+                          pillar_filters=pillar_filters),
         voxel=voxel,
         assigner=AssignerConfig(out_size_factor=out_size_factor,
                                 sampler_type=sampler_type),

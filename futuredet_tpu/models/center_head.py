@@ -1,0 +1,120 @@
+"""CenterHead — the heart of FutureDet (behavioral port of
+`/root/reference/det3d/models/bbox_heads/center_head.py`).
+
+Structure (ref :232-390):
+  shared_conv (3x3+BN+ReLU) -> per-task SepHead. In `dense` mode there is one
+  SepHead per future timestep; with `forecast_feature` head i>0 consumes
+  concat(shared features, head i-1's forecast features) (ref :361-368,383-388).
+
+All maps are NHWC. Heads are built statically from the frozen HeadConfig, so
+the whole module jits once per config.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import HeadConfig
+from .layers import BN_EPS, BN_MOMENTUM, ConvBNReLU
+
+
+def _final_conv_bias(init_bias):
+    def init(key, shape, dtype=jnp.float32):
+        return jnp.full(shape, init_bias, dtype)
+    return init
+
+
+class SepHead(nn.Module):
+    """Per-task head: one small conv stack per regression target (ref :81-174)."""
+    heads: Tuple[Tuple[str, Tuple[int, int]], ...]
+    head_conv: int = 64
+    final_kernel: int = 3
+    init_bias: float = -2.19
+    forecast_feature: bool = False
+    wide_head: bool = False
+    in_channels: int = 64
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out: Dict[str, jax.Array] = {}
+        head_conv = self.in_channels if self.wide_head else self.head_conv
+
+        if self.forecast_feature:
+            # two 3x3 conv+BN+ReLU producing chained features (ref :119-124)
+            x = ConvBNReLU(self.head_conv, 3, 1, axis_name=self.axis_name,
+                           name="forecast_conv0")(x, train)
+            x = ConvBNReLU(self.head_conv, 3, 1, axis_name=self.axis_name,
+                           name="forecast_conv1")(x, train)
+            out["feats"] = x
+
+        for head, (classes, num_conv) in self.heads:
+            h = x
+            for i in range(num_conv - 1):
+                h = nn.Conv(head_conv, (self.final_kernel, self.final_kernel),
+                            padding="SAME", name=f"{head}_conv{i}")(h)
+                h = nn.BatchNorm(use_running_average=not train,
+                                 momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                                 axis_name=self.axis_name,
+                                 name=f"{head}_bn{i}")(h)
+                h = nn.relu(h)
+            bias_init = (_final_conv_bias(self.init_bias) if head == "hm"
+                         else nn.initializers.zeros)
+            h = nn.Conv(classes, (self.final_kernel, self.final_kernel),
+                        padding="SAME", bias_init=bias_init,
+                        name=f"{head}_final")(h)
+            out[head] = h
+        return out
+
+
+class CenterHead(nn.Module):
+    cfg: HeadConfig
+    axis_name: Optional[str] = None
+
+    def _task_heads(self) -> List[Tuple[Tuple[str, Tuple[int, int]], ...]]:
+        """Per-task branch specs incl. the standard-mode vel widening
+        (ref :351-359: vel/rvel channels x timesteps unless dense/classify/wide)."""
+        c = self.cfg
+        specs = []
+        for num_cls in c.num_classes:
+            heads = []
+            for name, (ch, nconv) in c.common_heads:
+                if (not c.dense and not c.classify and not c.wide_head
+                        and name in ("vel", "rvel")):
+                    ch = ch * c.timesteps
+                heads.append((name, (ch, nconv)))
+            heads.append(("hm", (num_cls, c.num_hm_conv)))
+            specs.append(tuple(heads))
+        return specs
+
+    @nn.compact
+    def __call__(self, x, bev_map=None, train: bool = False):
+        c = self.cfg
+        share = c.effective_share_channel
+        x = ConvBNReLU(share, 3, 1, axis_name=self.axis_name,
+                       name="shared_conv")(x, train)
+
+        if c.bev_map:
+            b = bev_map
+            for i, ch in enumerate((16, 32, share)):
+                b = ConvBNReLU(ch, 3, 1, axis_name=self.axis_name,
+                               name=f"bev_conv{i}")(b, train)
+            x = x + b
+
+        rets: List[Dict[str, jax.Array]] = []
+        for i, heads in enumerate(self._task_heads()):
+            if i != 0 and c.forecast_feature:
+                inp = jnp.concatenate([x, rets[i - 1]["feats"]], axis=-1)
+                in_ch = 2 * share
+            else:
+                inp = x
+                in_ch = share
+            rets.append(SepHead(
+                heads=heads, head_conv=share, final_kernel=3,
+                init_bias=c.init_bias, forecast_feature=c.forecast_feature,
+                wide_head=c.wide_head, in_channels=in_ch,
+                axis_name=self.axis_name, name=f"task{i}")(inp, train))
+        return rets

@@ -1,0 +1,143 @@
+"""Detector assembly: points -> BEV features -> RPN -> CenterHead.
+
+TPU-first redesign of ref `det3d/models/detectors/{point_pillars,voxelnet}.py`:
+the voxelizer runs *inside* the jitted forward (fused with the network), the
+batch dimension is folded into the point dimension for the reader (one big
+MXU matmul + one segment reduction instead of per-sample loops), and all
+feature maps are NHWC.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import ExperimentConfig
+from ..ops.voxelize import PointVoxelMap, point_voxel_map
+from .backbone2d import RPN
+from .center_head import CenterHead
+from .layers import ConvBNReLU
+from .readers import PillarFeatureNet, scatter_to_bev
+
+
+def _batched_point_voxel_map(points, points_valid, cfg: ExperimentConfig,
+                             max_voxels: int) -> PointVoxelMap:
+    """Voxelize a (B, P, F) batch into one flat segment space of
+    B*max_voxels slots so downstream segment ops need no batch loop."""
+    vm = jax.vmap(lambda p, v: point_voxel_map(
+        p, v, jnp.asarray(cfg.voxel.pc_range), jnp.asarray(cfg.voxel.voxel_size),
+        grid_size=cfg.voxel.grid_size, max_voxels=max_voxels,
+        max_points=cfg.voxel.max_points_per_voxel))(points, points_valid)
+    B, P = points.shape[:2]
+    offs = (jnp.arange(B, dtype=jnp.int32) * max_voxels)[:, None]
+    # dropped points keep the global trash slot B*max_voxels
+    slot = jnp.where(vm.valid, vm.slot + offs, B * max_voxels).reshape(-1)
+    return PointVoxelMap(
+        slot=slot, rank=vm.rank.reshape(-1), valid=vm.valid.reshape(-1),
+        coords=vm.coords.reshape(B * max_voxels, 3),
+        num_points=vm.num_points.reshape(-1), num_voxels=vm.num_voxels,
+        points=vm.points.reshape(B * P, -1))
+
+
+class PointPillarsDetector(nn.Module):
+    """ref det3d/models/detectors/point_pillars.py + pillar_encoder.py."""
+    cfg: ExperimentConfig
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, points, points_valid, bev_map=None, train: bool = False):
+        c = self.cfg
+        B = points.shape[0]
+        max_v = c.voxel.max_voxels_train if train else c.voxel.max_voxels_eval
+        m = _batched_point_voxel_map(points, points_valid, c, max_v)
+
+        feats = PillarFeatureNet(
+            num_filters=c.model.pillar_filters,
+            voxel_size=c.voxel.voxel_size[:2], pc_range=c.voxel.pc_range,
+            max_pillars=B * max_v, axis_name=self.axis_name,
+            name="reader")(m, train)
+
+        gx, gy, _ = c.voxel.grid_size
+        canvas = jax.vmap(lambda f, co: scatter_to_bev(f, co, (gy, gx)))(
+            feats.reshape(B, max_v, -1), m.coords.reshape(B, max_v, 3))
+
+        x = RPN(layer_nums=c.model.rpn.layer_nums,
+                ds_strides=c.model.rpn.ds_strides,
+                ds_filters=c.model.rpn.ds_filters,
+                us_strides=c.model.rpn.us_strides,
+                us_filters=c.model.rpn.us_filters,
+                axis_name=self.axis_name, name="neck")(canvas, train)
+
+        return CenterHead(cfg=c.model.head, axis_name=self.axis_name,
+                          name="head")(x, bev_map=bev_map, train=train)
+
+
+class VoxelNetDetector(nn.Module):
+    """VoxelNet path. Round-1 middle encoder: dense BEV fallback — mean-VFE
+    voxels scattered into a z-stacked BEV image, crushed by a 1x1 conv, then
+    a strided conv tower standing in for SpMiddleResNetFHD's stride-8 3D
+    pyramid (ref scn.py:84-177). The submanifold sparse-conv middle encoder
+    replaces this in a later milestone; the public interface is identical.
+    """
+    cfg: ExperimentConfig
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, points, points_valid, bev_map=None, train: bool = False):
+        c = self.cfg
+        B = points.shape[0]
+        max_v = c.voxel.max_voxels_train if train else c.voxel.max_voxels_eval
+        m = _batched_point_voxel_map(points, points_valid, c, max_v)
+
+        # mean VFE (ref voxel_encoder.py:17-24) over the flat batch
+        w = m.valid.astype(points.dtype)[:, None]
+        sums = jax.ops.segment_sum(m.points * w, m.slot,
+                                   num_segments=B * max_v + 1)[:B * max_v]
+        mean_feats = sums / jnp.maximum(m.num_points, 1).astype(points.dtype)[:, None]
+
+        # embed the z-bin by scattering (x,y,z)-voxels into 8 z-groups of a
+        # BEV canvas at 1/4 the xy resolution of the raw grid (stride-4 via
+        # scatter), then a conv tower applies the remaining stride 2.
+        gx, gy, gz = c.voxel.grid_size
+        zgroups = 8
+        ch0 = 32
+        emb = nn.Dense(ch0, name="voxel_embed")(mean_feats)
+        coords = m.coords.reshape(B, max_v, 3)   # zyx
+        emb = emb.reshape(B, max_v, ch0)
+
+        def scat(e, co):
+            z, y, x = co[:, 0], co[:, 1], co[:, 2]
+            ok = z >= 0
+            ys, xs = y // 4, x // 4
+            zg = jnp.clip(z * zgroups // gz, 0, zgroups - 1)
+            idx = jnp.where(ok, (zg * (gy // 4) + ys) * (gx // 4) + xs,
+                            zgroups * (gy // 4) * (gx // 4))
+            canvas = jnp.zeros((zgroups * (gy // 4) * (gx // 4) + 1, ch0), e.dtype)
+            canvas = canvas.at[idx].add(jnp.where(ok[:, None], e, 0.0))
+            return canvas[:-1].reshape(zgroups, gy // 4, gx // 4, ch0)
+
+        vol = jax.vmap(scat)(emb, coords)                     # (B, Z, H, W, C)
+        x = vol.transpose(0, 2, 3, 1, 4).reshape(B, gy // 4, gx // 4,
+                                                 zgroups * ch0)
+        x = ConvBNReLU(128, 3, 1, use_bias=False, axis_name=self.axis_name,
+                       name="mid_conv0")(x, train)
+        x = ConvBNReLU(256, 3, 2, use_bias=False, axis_name=self.axis_name,
+                       name="mid_conv1")(x, train)            # stride 8 total
+
+        x = RPN(layer_nums=c.model.rpn.layer_nums,
+                ds_strides=c.model.rpn.ds_strides,
+                ds_filters=c.model.rpn.ds_filters,
+                us_strides=c.model.rpn.us_strides,
+                us_filters=c.model.rpn.us_filters,
+                axis_name=self.axis_name, name="neck")(x, train)
+
+        return CenterHead(cfg=c.model.head, axis_name=self.axis_name,
+                          name="head")(x, bev_map=bev_map, train=train)
+
+
+def build_detector(cfg: ExperimentConfig, axis_name: Optional[str] = None):
+    if cfg.model.detector == "pointpillars":
+        return PointPillarsDetector(cfg=cfg, axis_name=axis_name)
+    return VoxelNetDetector(cfg=cfg, axis_name=axis_name)

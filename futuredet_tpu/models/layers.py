@@ -1,0 +1,49 @@
+"""Shared NN building blocks (flax.linen, NHWC).
+
+Norm semantics match the reference's `build_norm_layer(dict(type="BN",
+eps=1e-3, momentum=0.01))` (torch momentum 0.01 == flax momentum 0.99).
+Cross-device BatchNorm sync (the reference's APEX syncBN,
+`det3d/torchie/apis/train.py:294-295`) is native here: pass
+`axis_name="data"` and flax BatchNorm pmeans batch statistics over the mesh.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.99  # == torch momentum 0.01
+
+
+class ConvBNReLU(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding="SAME",
+                    use_bias=self.use_bias)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, axis_name=self.axis_name)(x)
+        return nn.relu(x)
+
+
+class DeconvBNReLU(nn.Module):
+    features: int
+    stride: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.ConvTranspose(self.features, (self.stride, self.stride),
+                             strides=(self.stride, self.stride),
+                             use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, axis_name=self.axis_name)(x)
+        return nn.relu(x)

@@ -1,0 +1,122 @@
+"""Voxel/pillar feature readers — point-major, MXU-friendly.
+
+TPU-first redesign of the reference readers:
+
+* `MeanVFE` == `VoxelFeatureExtractorV3` (ref
+  `det3d/models/readers/voxel_encoder.py:9-24`): per-voxel mean. We compute it
+  directly with segment ops (see ops.voxelize.voxelize_mean) — no (V,K,F)
+  buffer.
+
+* `PillarFeatureNet` (ref `det3d/models/readers/pillar_encoder.py:59-153`):
+  decorates points with cluster-offset and pillar-center-offset, runs
+  Linear+BN+ReLU, max-pools per pillar. Instead of the reference's padded
+  (V, K, C) layout we keep points flat (P, C): one big (P, C_in)x(C_in, C_out)
+  matmul on the MXU, then a segment_max scatter into pillar slots. Deviation
+  noted: BatchNorm statistics are computed over valid points only (the
+  reference includes padding zeros in its BN1d stats — a quirk, not a
+  feature).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.voxelize import PointVoxelMap
+from .layers import BN_EPS, BN_MOMENTUM
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over a flat (N, C) point set with a validity mask."""
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, valid, train: bool = False):
+        C = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+
+        if train:
+            w = valid.astype(x.dtype)[:, None]
+            cnt = jnp.maximum(jnp.sum(w), 1.0)
+            mean = jnp.sum(x * w, 0) / cnt
+            var = jnp.sum(((x - mean) ** 2) * w, 0) / cnt
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                var = jax.lax.pmean(var, self.axis_name)
+            if not self.is_initializing():
+                ra_mean.value = BN_MOMENTUM * ra_mean.value + (1 - BN_MOMENTUM) * mean
+                ra_var.value = BN_MOMENTUM * ra_var.value + (1 - BN_MOMENTUM) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + BN_EPS)
+        return y * scale + bias
+
+
+class PillarFeatureNet(nn.Module):
+    """Point-major PFN. Single layer (reference default num_filters=(64,))."""
+    num_filters: Tuple[int, ...] = (64,)
+    voxel_size: Tuple[float, float] = (0.2, 0.2)
+    pc_range: Tuple[float, ...] = (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0)
+    max_pillars: int = 30000
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, m: PointVoxelMap, train: bool = False):
+        """m.points: (P, F>=3) sorted by pillar slot. Returns (max_pillars, C)."""
+        pts = m.points
+        valid = m.valid
+        w = valid.astype(pts.dtype)[:, None]
+
+        # cluster offset: point xyz - mean xyz of its pillar (ref :120-123)
+        sums = jax.ops.segment_sum(pts[:, :3] * w, m.slot,
+                                   num_segments=self.max_pillars + 1)
+        cnt = jnp.maximum(m.num_points, 1).astype(pts.dtype)
+        means = sums[:self.max_pillars] / cnt[:, None]
+        means = jnp.concatenate([means, jnp.zeros((1, 3), pts.dtype)], 0)
+        f_cluster = pts[:, :3] - means[jnp.minimum(m.slot, self.max_pillars)]
+
+        # pillar-center offset (ref :127-133); coords are zyx -> x=c[2], y=c[1]
+        coords = jnp.concatenate(
+            [m.coords, jnp.zeros((1, 3), m.coords.dtype)], 0)
+        cxy = coords[jnp.minimum(m.slot, self.max_pillars)][:, ::-1][:, :2]
+        vx, vy = self.voxel_size
+        cx = cxy[:, 0].astype(pts.dtype) * vx + (vx / 2 + self.pc_range[0])
+        cy = cxy[:, 1].astype(pts.dtype) * vy + (vy / 2 + self.pc_range[1])
+        f_center = jnp.stack([pts[:, 0] - cx, pts[:, 1] - cy], -1)
+
+        x = jnp.concatenate([pts, f_cluster, f_center], -1) * w
+
+        for i, ch in enumerate(self.num_filters):
+            x = nn.Dense(ch, use_bias=False)(x)
+            x = MaskedBatchNorm(axis_name=self.axis_name)(x, valid, train=train)
+            x = nn.relu(x)
+            pooled = jax.ops.segment_max(
+                jnp.where(valid[:, None], x, -jnp.inf), m.slot,
+                num_segments=self.max_pillars + 1)[:self.max_pillars]
+            pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
+            if i < len(self.num_filters) - 1:
+                x = jnp.concatenate(
+                    [x, pooled[jnp.minimum(m.slot, self.max_pillars)]], -1)
+        return pooled
+
+
+def scatter_to_bev(features, coords, grid_hw: Tuple[int, int]):
+    """Scatter (V, C) pillar/voxel features into an (H, W, C) BEV canvas.
+
+    ref: PointPillarsScatter (pillar_encoder.py:157-209) — scatter by
+    index = y*nx + x; invalid slots (coords==-1) go to a trash row.
+    """
+    H, W = grid_hw
+    y, x = coords[:, 1], coords[:, 2]
+    ok = (y >= 0) & (x >= 0)
+    idx = jnp.where(ok, y * W + x, H * W)
+    canvas = jnp.zeros((H * W + 1, features.shape[-1]), features.dtype)
+    canvas = canvas.at[idx].set(jnp.where(ok[:, None], features, 0.0))
+    return canvas[:H * W].reshape(H, W, features.shape[-1])
