@@ -1,0 +1,130 @@
+"""Heatmap -> boxes decode + per-timestep NMS, fully on device.
+
+Behavioral port of `CenterHead.predict` + `post_processing`
+(`/root/reference/det3d/models/bbox_heads/center_head.py:541-747`):
+
+  1. expand the head outputs into `target_timesteps` pseudo-task dicts
+     (standard: slice the widened vel map / replicate; dense: one head per
+     timestep already; sparse: forward+reverse; classify: max over the 3
+     trajectory classes; wide: slice heatmap channels)             (:559-607)
+  2. decode each dict from the heatmap grid                        (:621-666)
+  3. score/range mask + rotated NMS per pseudo-task                (:698-747)
+  4. concatenate with label := pseudo-task index (== timestep)     (:675-695)
+
+Everything is static-shape: each pseudo-task yields exactly `post_max`
+detection slots with a validity mask.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..ops.nms import rotate_nms
+
+
+class Detections(NamedTuple):
+    """Fixed-shape detection set per sample.
+
+    boxes: (B, N, 9) [x, y, z, w, l, h, vx, vy, rot]
+    scores/labels/valid: (B, N); label == pseudo-timestep (0..T-1)
+    """
+    boxes: jax.Array
+    scores: jax.Array
+    labels: jax.Array
+    valid: jax.Array
+
+
+def expand_pseudo_tasks(cfg: ExperimentConfig,
+                        preds: List[Dict[str, jax.Array]]):
+    """Replicate the reference's per-mode pred expansion (ref :557-607)."""
+    h = cfg.model.head
+    T = h.target_timesteps
+    out = []
+    if h.standard or h.reverse:
+        pd = preds[0]
+        ts = h.timesteps
+        vels = [pd["vel"][..., 2 * i:2 * i + 2] for i in range(ts)]
+        if ts == 1:
+            vels = T * vels
+        for vel in vels:
+            out.append({**pd, "vel": vel})
+    elif h.sparse:
+        fwd, rev = preds[0], preds[1]
+        for i in range(h.timesteps):
+            out.append({**fwd, "vel": fwd["vel"][..., 2 * i:2 * i + 2]})
+        for i in range(h.timesteps):
+            out.append({**rev, "vel": rev["vel"][..., 2 * i:2 * i + 2]})
+    elif h.classify:
+        for pd in preds:
+            out.append({**pd, "hm": jnp.max(pd["hm"], axis=-1, keepdims=True)})
+    elif h.wide_head:
+        pd = preds[0]
+        for i in range(h.timesteps):
+            out.append({**pd, "hm": pd["hm"][..., i:i + 1]})
+    else:  # dense: one head per timestep already
+        out = list(preds)
+    return out
+
+
+def decode_single(pd: Dict[str, jax.Array], cfg: ExperimentConfig):
+    """One pseudo-task dict (NHWC maps) -> (B, HW, 9) boxes + (B, HW, C) hm."""
+    tc = cfg.test
+    osf = cfg.assigner.out_size_factor
+    vx, vy = cfg.voxel.voxel_size[:2]
+    x0, y0 = cfg.voxel.pc_range[:2]
+
+    hm = jax.nn.sigmoid(pd["hm"])
+    B, H, W, C = hm.shape
+    dim = jnp.exp(pd["dim"]).reshape(B, H * W, 3)
+    rot = jnp.arctan2(pd["rot"][..., 0:1], pd["rot"][..., 1:2]).reshape(B, H * W, 1)
+    reg = pd["reg"].reshape(B, H * W, 2)
+    hei = pd["height"].reshape(B, H * W, 1)
+    vel = pd["vel"].reshape(B, H * W, 2)
+
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(1, H * W, 1)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(1, H * W, 1)
+    xs = (xs + reg[..., 0:1]) * osf * vx + x0
+    ys = (ys + reg[..., 1:2]) * osf * vy + y0
+
+    boxes = jnp.concatenate([xs, ys, hei, dim, vel, rot], axis=-1)
+    return boxes, hm.reshape(B, H * W, C)
+
+
+def decode_and_nms(cfg: ExperimentConfig,
+                   preds: List[Dict[str, jax.Array]]) -> Detections:
+    """Full predict path. Returns Detections with N = T_target * post_max and
+    labels == pseudo-timestep index (ref label offsetting at :686-690)."""
+    pseudo = expand_pseudo_tasks(cfg, preds)
+    tc = cfg.test
+    all_b, all_s, all_l, all_v = [], [], [], []
+    for t, pd in enumerate(pseudo):
+        boxes, hm = decode_single(pd, cfg)
+        scores = jnp.max(hm, axis=-1)
+        rng = jnp.asarray(tc.post_center_limit_range)
+        in_range = (jnp.all(boxes[..., :3] >= rng[:3], -1)
+                    & jnp.all(boxes[..., :3] <= rng[3:], -1))
+        ok = (scores > tc.score_threshold) & in_range
+
+        def one(b, s, v):
+            sel, _ = rotate_nms(
+                b[:, [0, 1, 2, 3, 4, 5, 8]], s, v,
+                iou_threshold=tc.nms.iou_threshold,
+                pre_max=tc.nms.pre_max_size, post_max=tc.nms.post_max_size)
+            keep = sel >= 0
+            idx = jnp.maximum(sel, 0)
+            return b[idx], s[idx], keep
+
+        bb, ss, kk = jax.vmap(one)(boxes, scores, ok)
+        all_b.append(bb)
+        all_s.append(jnp.where(kk, ss, 0.0))
+        all_l.append(jnp.full(ss.shape, t, jnp.int32))
+        all_v.append(kk)
+
+    return Detections(boxes=jnp.concatenate(all_b, 1),
+                      scores=jnp.concatenate(all_s, 1),
+                      labels=jnp.concatenate(all_l, 1),
+                      valid=jnp.concatenate(all_v, 1))

@@ -6,7 +6,8 @@ import jax.numpy as jnp
 import pytest
 
 from futuredet_tpu.config import (AssignerConfig, ExperimentConfig, HeadConfig,
-                                  ModelConfig, RPNConfig, VoxelConfig, get_config)
+                                  ModelConfig, NMSConfig, RPNConfig, TestConfig,
+                                  VoxelConfig, get_config)
 from futuredet_tpu.models.detector import build_detector
 from futuredet_tpu.models.losses import center_head_loss
 
@@ -31,6 +32,8 @@ def tiny_cfg(timesteps=1, dense=False, forecast_feature=False,
                           reader="pillar_feature_net"
                           if detector == "pointpillars" else "mean_vfe"),
         voxel=voxel,
+        test=TestConfig(post_center_limit_range=(-10., -10., -10., 10., 10., 10.),
+                        nms=NMSConfig(pre_max_size=128, post_max_size=32)),
         assigner=AssignerConfig(out_size_factor=osf, max_objs=16))
 
 
