@@ -1,0 +1,84 @@
+"""End-to-end inference benchmark — prints ONE JSON line.
+
+Metric: nuScenes-val-style **sweeps/sec per chip** on the flagship
+forecast model (pp_forecast_n3dtf: 7 chained future-detection heads):
+full path points -> voxelize -> PFN -> BEV -> RPN -> 7 heads -> decode ->
+7x rotated NMS, all on device. Each sample aggregates `nsweeps` (20) lidar
+sweeps (ref configs/.../n3dtf:107), so sweeps/sec = samples/sec * 20.
+
+vs_baseline: the north-star target is 2x an A100 running the reference
+(BASELINE.md). The reference publishes no number; we anchor on the
+CenterPoint-era measurement of ~11 frames/s for the voxel pipeline on
+high-end GPUs (CenterPoint paper, nuScenes leaderboard latency) => target
+2 * 11 * 20 = 440 sweeps/s. vs_baseline = ours / 440.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+TARGET_SWEEPS_PER_SEC = 440.0
+NSWEEPS = 20
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from futuredet_tpu.config import get_config
+    from futuredet_tpu.eval.decode import decode_and_nms
+    from futuredet_tpu.models.detector import build_detector
+
+    cfg = get_config("pp_forecast_n3dtf")
+    cfg = cfg.replace(voxel=dataclasses.replace(
+        cfg.voxel, max_points=150000, max_voxels_eval=30000))
+    model = build_detector(cfg)
+
+    rng = np.random.default_rng(0)
+    B, P = 1, cfg.voxel.max_points
+    lo, hi = cfg.voxel.pc_range[0], cfg.voxel.pc_range[3]
+    pts = np.concatenate([
+        rng.uniform(lo, hi, (B, P, 2)), rng.uniform(-4, 2, (B, P, 1)),
+        rng.uniform(0, 1, (B, P, 2))], -1).astype(np.float32)
+    pts = jnp.asarray(pts)
+    valid = jnp.asarray(np.ones((B, P), bool))
+
+    variables = jax.jit(lambda r: model.init(r, pts, valid, train=False))(
+        jax.random.PRNGKey(0))
+
+    # NOTE: block_until_ready does not reliably synchronize on the tunneled
+    # backend, and per-call device_get pays the tunnel RTT. We therefore chain
+    # `iters` full inference passes on-device inside one jit (each iteration's
+    # input perturbed by the previous output so nothing folds away) and
+    # device_get once; wall / iters == true per-sample latency.
+    iters = 20
+
+    @jax.jit
+    def infer_chain(variables, pts, valid):
+        def body(i, carry):
+            tok, acc = carry
+            preds = model.apply(variables, pts + tok, valid, train=False)
+            det = decode_and_nms(cfg, preds)
+            tok = jnp.sum(det.scores) * 1e-12
+            return (tok, acc + jnp.sum(det.valid.astype(jnp.int32)))
+        return jax.lax.fori_loop(0, iters, body, (jnp.float32(0.0), 0))[1]
+
+    _ = jax.device_get(infer_chain(variables, pts, valid))  # compile
+    t0 = time.perf_counter()
+    n_det = jax.device_get(infer_chain(variables, pts, valid))
+    dt = (time.perf_counter() - t0) / iters
+
+    samples_per_sec = B / dt
+    sweeps_per_sec = samples_per_sec * NSWEEPS
+    print(json.dumps({
+        "metric": "e2e_inference_sweeps_per_sec_per_chip",
+        "value": round(sweeps_per_sec, 2),
+        "unit": "sweeps/s",
+        "vs_baseline": round(sweeps_per_sec / TARGET_SWEEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

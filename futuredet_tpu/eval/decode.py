@@ -97,34 +97,41 @@ def decode_single(pd: Dict[str, jax.Array], cfg: ExperimentConfig):
 def decode_and_nms(cfg: ExperimentConfig,
                    preds: List[Dict[str, jax.Array]]) -> Detections:
     """Full predict path. Returns Detections with N = T_target * post_max and
-    labels == pseudo-timestep index (ref label offsetting at :686-690)."""
+    labels == pseudo-timestep index (ref label offsetting at :686-690).
+
+    The T pseudo-timesteps are stacked and the NMS is vmapped over (T, B) so
+    the whole suppression runs as one fused kernel instead of T sequential
+    launches.
+    """
     pseudo = expand_pseudo_tasks(cfg, preds)
     tc = cfg.test
-    all_b, all_s, all_l, all_v = [], [], [], []
-    for t, pd in enumerate(pseudo):
-        boxes, hm = decode_single(pd, cfg)
-        scores = jnp.max(hm, axis=-1)
-        rng = jnp.asarray(tc.post_center_limit_range)
-        in_range = (jnp.all(boxes[..., :3] >= rng[:3], -1)
-                    & jnp.all(boxes[..., :3] <= rng[3:], -1))
-        ok = (scores > tc.score_threshold) & in_range
+    T = len(pseudo)
 
-        def one(b, s, v):
-            sel, _ = rotate_nms(
-                b[:, [0, 1, 2, 3, 4, 5, 8]], s, v,
-                iou_threshold=tc.nms.iou_threshold,
-                pre_max=tc.nms.pre_max_size, post_max=tc.nms.post_max_size)
-            keep = sel >= 0
-            idx = jnp.maximum(sel, 0)
-            return b[idx], s[idx], keep
+    decs = [decode_single(pd, cfg) for pd in pseudo]
+    boxes = jnp.stack([d[0] for d in decs])          # (T, B, HW, 9)
+    hm = jnp.stack([d[1] for d in decs])             # (T, B, HW, C)
+    scores = jnp.max(hm, axis=-1)
+    rng = jnp.asarray(tc.post_center_limit_range)
+    in_range = (jnp.all(boxes[..., :3] >= rng[:3], -1)
+                & jnp.all(boxes[..., :3] <= rng[3:], -1))
+    ok = (scores > tc.score_threshold) & in_range
 
-        bb, ss, kk = jax.vmap(one)(boxes, scores, ok)
-        all_b.append(bb)
-        all_s.append(jnp.where(kk, ss, 0.0))
-        all_l.append(jnp.full(ss.shape, t, jnp.int32))
-        all_v.append(kk)
+    def one(b, s, v):
+        sel, _ = rotate_nms(
+            b[:, [0, 1, 2, 3, 4, 5, 8]], s, v,
+            iou_threshold=tc.nms.iou_threshold,
+            pre_max=tc.nms.pre_max_size, post_max=tc.nms.post_max_size)
+        keep = sel >= 0
+        idx = jnp.maximum(sel, 0)
+        return b[idx], s[idx], keep
 
-    return Detections(boxes=jnp.concatenate(all_b, 1),
-                      scores=jnp.concatenate(all_s, 1),
-                      labels=jnp.concatenate(all_l, 1),
-                      valid=jnp.concatenate(all_v, 1))
+    bb, ss, kk = jax.vmap(jax.vmap(one))(boxes, scores, ok)  # (T, B, post, ...)
+    labels = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[:, None, None], ss.shape)
+
+    def flat(x):  # (T, B, post, ...) -> (B, T*post, ...)
+        x = jnp.moveaxis(x, 0, 1)
+        return x.reshape(x.shape[0], -1, *x.shape[3:])
+
+    return Detections(boxes=flat(bb), scores=flat(jnp.where(kk, ss, 0.0)),
+                      labels=flat(labels), valid=flat(kk))

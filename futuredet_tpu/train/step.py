@@ -1,0 +1,127 @@
+"""The jitted data-parallel train/eval step.
+
+Replaces the reference trainer's hot loop (ref
+`det3d/torchie/trainer/trainer.py:406-463` + `DistOptimizerHook`
+`det3d/core/utils/dist_utils.py:44-57`): one `shard_map`-wrapped function over
+the `data` mesh axis doing forward, loss, backward, gradient `pmean`, clip and
+AdamW update — all fused by XLA, gradients riding ICI collectives. SyncBN
+(the reference's APEX conversion) falls out of passing `axis_name="data"` to
+the BatchNorms.
+
+Optimizer parity (ref configs n3dtf:231-238 + solver/fastai_optim.py): AdamW
+with true (fixed) weight decay 0.01, one-cycle lr/momentum, grad-clip 35.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ExperimentConfig
+from ..models.detector import build_detector
+from ..models.losses import center_head_loss
+from ..parallel.mesh import DATA_AXIS
+from .schedule import one_cycle_lr, one_cycle_momentum
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: ExperimentConfig, total_steps: int):
+    o = cfg.train.optim
+    lr = functools.partial(one_cycle_lr, total_steps=total_steps,
+                           lr_max=o.lr_max, div_factor=o.div_factor,
+                           pct_start=o.pct_start)
+    b1 = functools.partial(one_cycle_momentum, total_steps=total_steps,
+                           moms=o.moms, pct_start=o.pct_start)
+    tx = optax.chain(
+        optax.clip_by_global_norm(o.grad_clip_norm),
+        optax.inject_hyperparams(
+            lambda learning_rate, b1: optax.adamw(
+                learning_rate, b1=b1, weight_decay=o.weight_decay)
+        )(learning_rate=lr, b1=b1),
+    )
+    return tx
+
+
+def init_state(cfg: ExperimentConfig, rng, batch, total_steps: int,
+               axis_name: Optional[str] = None) -> TrainState:
+    model = build_detector(cfg, axis_name=None)  # init never crosses devices
+    variables = jax.jit(
+        functools.partial(model.init, train=True)
+    )(rng, batch["points"], batch["points_valid"])
+    tx = make_optimizer(cfg, total_steps)
+    opt_state = tx.init(variables["params"])
+    return TrainState(step=jnp.zeros((), jnp.int32),
+                      params=variables["params"],
+                      batch_stats=variables["batch_stats"],
+                      opt_state=opt_state)
+
+
+def make_train_step(cfg: ExperimentConfig, mesh: Mesh, total_steps: int):
+    """Returns a jitted step fn: (state, batch) -> (state, metrics).
+
+    batch pytree leaves lead with the global batch dim, sharded over `data`;
+    state is replicated. The body runs under shard_map so BatchNorm and
+    gradient reductions use explicit `data`-axis collectives.
+    """
+    model = build_detector(cfg, axis_name=DATA_AXIS)
+    tx = make_optimizer(cfg, total_steps)
+
+    def local_step(state: TrainState, batch):
+        def loss_fn(params):
+            preds, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["points"], batch["points_valid"],
+                bev_map=batch.get("bev_map"), train=True,
+                mutable=["batch_stats"])
+            losses = center_head_loss(cfg.model.head, preds, batch["targets"])
+            return losses["loss"], (losses, mut["batch_stats"])
+
+        (loss, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        # batch_stats were already pmean'ed inside BN (axis_name), but the
+        # running-average update happens per-shard on identical values, so a
+        # plain carry-through is consistent across devices.
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss,
+                   "hm_loss": jax.lax.pmean(losses["hm_loss"], DATA_AXIS),
+                   "loc_loss": jax.lax.pmean(losses["loc_loss"], DATA_AXIS),
+                   "grad_norm": optax.global_norm(grads)}
+        return TrainState(step=state.step + 1, params=new_params,
+                          batch_stats=new_bs, opt_state=new_opt), metrics
+
+    state_spec = P()   # replicated
+    batch_spec = P(DATA_AXIS)
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(state_spec, batch_spec),
+        out_specs=(state_spec, state_spec),
+        check_vma=False)
+
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_eval_forward(cfg: ExperimentConfig, mesh: Optional[Mesh] = None):
+    """Jitted inference forward: (state, batch) -> head prediction dicts."""
+    model = build_detector(cfg, axis_name=None)
+
+    @jax.jit
+    def fwd(params, batch_stats, batch):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           batch["points"], batch["points_valid"],
+                           bev_map=batch.get("bev_map"), train=False)
+
+    return fwd

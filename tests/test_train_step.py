@@ -1,0 +1,72 @@
+"""Data-parallel train step on the 8-device CPU mesh: loss decreases,
+replicas stay in sync, schedule follows the reference one-cycle curve."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from futuredet_tpu.parallel.mesh import make_mesh
+from futuredet_tpu.train.schedule import one_cycle_lr, one_cycle_momentum
+from futuredet_tpu.train.step import init_state, make_train_step
+from tests.test_models import rand_points, rand_targets, tiny_cfg
+
+
+def _batch(cfg, B):
+    pts, valid = rand_points(B=B, P=cfg.voxel.max_points)
+    return {"points": pts, "points_valid": valid,
+            "targets": rand_targets(cfg, B=B)}
+
+
+def test_one_cycle_matches_reference_formula():
+    # exact port check against learning_schedules_fastai.py:70-97
+    import math
+
+    def ref_cos(start, end, pct):
+        return end + (start - end) / 2 * (math.cos(math.pi * pct) + 1)
+
+    total, lr_max, div, pct = 1000, 1e-3, 10.0, 0.4
+    a1 = int(total * pct)
+    for step in [0, 100, 399, 400, 401, 700, 999]:
+        got = float(one_cycle_lr(jnp.asarray(step), total_steps=total,
+                                 lr_max=lr_max, div_factor=div, pct_start=pct))
+        if step < a1:
+            want = ref_cos(lr_max / div, lr_max, step / a1)
+        else:
+            want = ref_cos(lr_max, (lr_max / div) / 1e4,
+                           (step - a1) / (total - a1))
+        assert abs(got - want) < 1e-9, step
+
+    m0 = float(one_cycle_momentum(jnp.asarray(0), total_steps=total,
+                                  moms=(0.95, 0.85), pct_start=pct))
+    m1 = float(one_cycle_momentum(jnp.asarray(a1), total_steps=total,
+                                  moms=(0.95, 0.85), pct_start=pct))
+    assert abs(m0 - 0.95) < 1e-6 and abs(m1 - 0.85) < 1e-6
+
+
+def test_train_step_8dev_loss_decreases():
+    cfg = tiny_cfg(1, False, False)
+    mesh = make_mesh(8)
+    B = 8
+    batch = _batch(cfg, B)
+    state = init_state(cfg, jax.random.PRNGKey(0),
+                       jax.tree.map(lambda x: x[:1], batch), total_steps=50)
+    step_fn = make_train_step(cfg, mesh, total_steps=50)
+
+    losses = []
+    for _ in range(8):
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+
+
+def test_train_step_dense_forecast_mode():
+    cfg = tiny_cfg(7, True, True)
+    mesh = make_mesh(4)
+    batch = _batch(cfg, 4)
+    state = init_state(cfg, jax.random.PRNGKey(0),
+                       jax.tree.map(lambda x: x[:1], batch), total_steps=20)
+    step_fn = make_train_step(cfg, mesh, total_steps=20)
+    state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert metrics["hm_loss"].shape == (7,)
