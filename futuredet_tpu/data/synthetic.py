@@ -1,0 +1,130 @@
+"""Synthetic nuScenes-like scene generator.
+
+Stands in for the real dataset in tests and benchmarks (no nuScenes data is
+mounted in this environment): samples objects with static / linear /
+nonlinear trajectories over `timesteps` keyframes, simulates the 12-dim
+per-timestep gt layout of the reference infos (ref nusc_common.py:531) and
+renders lidar-like point clouds (points on box walls + ground clutter).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..core.trajectory import LINEAR, NONLINEAR, STATIC
+
+DT = 0.5  # seconds between keyframes (2 Hz, ref README 3s horizon / 7 steps)
+
+
+@dataclass
+class Scene:
+    points: np.ndarray        # (P, 5) x,y,z,intensity,time-lag
+    points_valid: np.ndarray  # (P,)
+    gt_boxes: np.ndarray      # (T, M, 12)
+    gt_classes: np.ndarray    # (T, M) 1-based; 0 invalid
+    gt_valid: np.ndarray      # (T, M)
+    traj_classes: np.ndarray  # (M,) 1-based static/linear/nonlinear; 0 invalid
+
+
+def make_scene(cfg: ExperimentConfig, n_objects: int = 12,
+               n_clutter: int = 20000, points_per_object: int = 600,
+               seed: int = 0, max_objs: Optional[int] = None) -> Scene:
+    rng = np.random.default_rng(seed)
+    T = max(cfg.timesteps, 1)
+    M = max_objs or cfg.assigner.max_objs
+    P = cfg.voxel.max_points
+    lo, hi = cfg.voxel.pc_range[0], cfg.voxel.pc_range[3]
+    span = (hi - lo) * 0.4
+
+    gt_boxes = np.zeros((T, M, 12), np.float32)
+    gt_classes = np.zeros((T, M), np.int32)
+    gt_valid = np.zeros((T, M), bool)
+    traj = np.zeros((M,), np.int32)
+
+    pts_list = []
+    for k in range(n_objects):
+        cx, cy = rng.uniform(-span, span, 2)
+        cz = rng.uniform(-1.5, -0.5)
+        w, l, h = rng.uniform(1.6, 2.2), rng.uniform(3.8, 5.2), rng.uniform(1.4, 1.9)
+        yaw = rng.uniform(-np.pi, np.pi)
+        kind = rng.choice([STATIC, LINEAR, NONLINEAR], p=[0.4, 0.4, 0.2])
+        speed = 0.0 if kind == STATIC else rng.uniform(3.0, 10.0)
+        heading = np.array([np.cos(yaw), np.sin(yaw)])
+        turn = 0.0 if kind != NONLINEAR else rng.choice([-1, 1]) * rng.uniform(0.25, 0.5)
+
+        pos = np.array([cx, cy], np.float64)
+        ang = yaw
+        for t in range(T):
+            vel = speed * np.array([np.cos(ang), np.sin(ang)])
+            gt_boxes[t, k] = [pos[0], pos[1], cz, w, l, h, vel[0], vel[1],
+                              vel[0], vel[1], -ang - np.pi / 2, -ang - np.pi / 2]
+            gt_classes[t, k] = 1
+            gt_valid[t, k] = True
+            pos = pos + vel * DT
+            ang = ang + turn * DT
+        traj[k] = kind + 1
+
+        # lidar hits on the walls + roof of the t=0 box
+        n = points_per_object
+        face = rng.integers(0, 4, n)
+        u = rng.uniform(-0.5, 0.5, n)
+        local = np.zeros((n, 2))
+        local[face == 0] = np.stack([np.full((face == 0).sum(), 0.5),
+                                     u[face == 0]], -1)
+        local[face == 1] = np.stack([np.full((face == 1).sum(), -0.5),
+                                     u[face == 1]], -1)
+        local[face == 2] = np.stack([u[face == 2],
+                                     np.full((face == 2).sum(), 0.5)], -1)
+        local[face == 3] = np.stack([u[face == 3],
+                                     np.full((face == 3).sum(), -0.5)], -1)
+        local *= np.array([w, l])
+        c0, s0 = np.cos(yaw), np.sin(yaw)
+        world = local @ np.array([[c0, s0], [-s0, c0]])
+        world += np.array([cx, cy])
+        z = rng.uniform(cz - h / 2, cz + h / 2, n)
+        inten = rng.uniform(0, 1, n)
+        pts_list.append(np.stack([world[:, 0], world[:, 1], z, inten,
+                                  np.zeros(n)], -1))
+
+    clutter = np.stack([
+        rng.uniform(lo, hi, n_clutter), rng.uniform(lo, hi, n_clutter),
+        rng.uniform(-2.0, -1.8, n_clutter), rng.uniform(0, 1, n_clutter),
+        np.zeros(n_clutter)], -1)
+    pts_list.append(clutter)
+    pts = np.concatenate(pts_list, 0).astype(np.float32)
+
+    points = np.zeros((P, 5), np.float32)
+    valid = np.zeros((P,), bool)
+    n = min(len(pts), P)
+    sel = rng.permutation(len(pts))[:n]
+    points[:n] = pts[sel]
+    valid[:n] = True
+    return Scene(points=points, points_valid=valid, gt_boxes=gt_boxes,
+                 gt_classes=gt_classes, gt_valid=gt_valid, traj_classes=traj)
+
+
+def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
+               **kw) -> Dict[str, np.ndarray]:
+    """Stacked batch of scenes + targets (host numpy; targets built on device
+    in the input pipeline normally — here eagerly for tests/bench)."""
+    import jax.numpy as jnp
+    from .targets import build_targets
+
+    scenes = [make_scene(cfg, seed=seed + i, **kw) for i in range(batch_size)]
+    batch = {
+        "points": jnp.asarray(np.stack([s.points for s in scenes])),
+        "points_valid": jnp.asarray(np.stack([s.points_valid for s in scenes])),
+    }
+    tgts = [build_targets(cfg, s.gt_boxes, s.gt_classes, s.gt_valid,
+                          s.traj_classes) for s in scenes]
+    batch["targets"] = {k: jnp.stack([t[k] for t in tgts]) for k in tgts[0]}
+    batch["gt"] = {
+        "boxes": np.stack([s.gt_boxes for s in scenes]),
+        "classes": np.stack([s.gt_classes for s in scenes]),
+        "valid": np.stack([s.gt_valid for s in scenes]),
+        "traj": np.stack([s.traj_classes for s in scenes]),
+    }
+    return batch

@@ -34,7 +34,9 @@ def tiny_cfg(timesteps=1, dense=False, forecast_feature=False,
         voxel=voxel,
         test=TestConfig(post_center_limit_range=(-10., -10., -10., 10., 10., 10.),
                         nms=NMSConfig(pre_max_size=128, post_max_size=32)),
-        assigner=AssignerConfig(out_size_factor=osf, max_objs=16))
+        assigner=AssignerConfig(out_size_factor=osf, max_objs=16,
+                                sampler_type="trajectory" if dense
+                                else "standard"))
 
 
 def rand_points(B=2, P=1024, seed=0):
