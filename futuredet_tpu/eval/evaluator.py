@@ -1,0 +1,99 @@
+"""End-to-end evaluation: device detections -> linked trajectories ->
+joint detection+forecasting metrics.
+
+The device side (forward, decode, NMS) stays jitted; this module is the thin
+host-side aggregation replacing the reference's
+`NuScenesDataset.evaluation` (ref nuscenes.py:681-875): per sample it links
+per-timestep future detections into trajectories (eval.linking), groups
+multi-futures, re-ranks, and feeds the metric engine (eval.metrics).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..core.trajectory import TRAJECTORY_NAMES
+from .decode import Detections
+from .linking import (Trajectory, link_sample, multi_future,
+                      split_by_timestep, trajectory_score)
+from .metrics import EvalResult, GTRecord, PredRecord, evaluate_forecasts
+
+DT = 0.5
+
+
+def detections_to_predictions(cfg: ExperimentConfig, det: Detections,
+                              sample_tokens: Sequence[str], *,
+                              forecast_mode: str = "velocity_dense",
+                              classname: str = "car", rerank: str = "last",
+                              nogroup: bool = False) -> List[PredRecord]:
+    """Link each sample's Detections and serialize PredRecords
+    (ref evaluation loop nuscenes.py:752-807)."""
+    T = cfg.model.head.target_timesteps
+    times = [DT] * (T - 1)
+    boxes = np.asarray(det.boxes)
+    scores = np.asarray(det.scores)
+    labels = np.asarray(det.labels)
+    valid = np.asarray(det.valid)
+
+    out: List[PredRecord] = []
+    for b, tok in enumerate(sample_tokens):
+        per_t = split_by_timestep(boxes[b], scores[b], labels[b], valid[b], T)
+        trajs = link_sample(classname, forecast_mode, times, per_t)
+        if not nogroup:
+            trajs = multi_future(trajs)
+        for i, tr in enumerate(trajs):
+            fs = trajectory_score(tr, rerank, T)
+            out.append(PredRecord(
+                sample=tok, centers=tr.boxes[:, :2].copy(),
+                size=tr.boxes[0][3:6].copy(), yaw=float(tr.boxes[0][8]),
+                vel=tr.boxes[0][6:8].copy(), det_score=tr.det_score,
+                forecast_score=fs,
+                forecast_id=tr.forecast_id if not nogroup else -1,
+                classname=classname))
+    return out
+
+
+def gt_records_from_arrays(gt_boxes, gt_valid, traj_classes,
+                           sample_tokens: Sequence[str],
+                           classname: str = "car") -> List[GTRecord]:
+    """gt_boxes (B, T, M, 12) in the info layout -> GTRecords."""
+    out: List[GTRecord] = []
+    B, T, M, _ = gt_boxes.shape
+    for b in range(B):
+        for k in range(M):
+            if not gt_valid[b, 0, k]:
+                continue
+            boxes = gt_boxes[b, :, k]
+            cohort = TRAJECTORY_NAMES[int(traj_classes[b, k]) - 1] \
+                if traj_classes is not None else "static"
+            out.append(GTRecord(
+                sample=sample_tokens[b], centers=boxes[:, :2].copy(),
+                size=boxes[0, 3:6].copy(),
+                yaw=float(-boxes[0, 10] - np.pi / 2),
+                vel=boxes[0, 6:8].copy(), classname=classname, cohort=cohort))
+    return out
+
+
+def evaluate_detections(cfg: ExperimentConfig, det: Detections, gt,
+                        sample_tokens: Sequence[str], *,
+                        forecast_mode: str = "velocity_dense",
+                        classname: str = "car", rerank: str = "last",
+                        tp_pct: float = 0.6, cohort_analysis: bool = False,
+                        topk: int = 1, static_only: bool = False,
+                        nogroup: bool = False) -> EvalResult:
+    """One-call evaluation used by tests/CLI. `gt` = dict with boxes
+    (B,T,M,12), valid (B,T,M), traj (B,M)."""
+    preds = detections_to_predictions(
+        cfg, det, sample_tokens, forecast_mode=forecast_mode,
+        classname=classname, rerank=rerank, nogroup=nogroup)
+    gts = gt_records_from_arrays(gt["boxes"], gt["valid"], gt.get("traj"),
+                                 sample_tokens, classname)
+    # yaw convention: GTRecord yaw converted from stored (-yaw-pi/2); decoded
+    # boxes carry the stored convention too — convert pred yaw to match
+    for p in preds:
+        p.yaw = float(-p.yaw - np.pi / 2)
+    return evaluate_forecasts(
+        preds, gts, [classname], tp_pct=tp_pct,
+        cohort_analysis=cohort_analysis, topk=topk, static_only=static_only)

@@ -1,0 +1,219 @@
+"""Many-to-one trajectory linking — the FutureDet post-detection association.
+
+Behavioral port of the host-side linking in
+`/root/reference/det3d/datasets/nuscenes/nuscenes.py`:
+  match_boxes()   :112-123  nearest-center per-timestep matching
+  tracker()       :125-257  forward chains by velocity-extrapolated matching,
+                            constant-velocity fallbacks, and backcast chains
+  multi_future()  :299-339  group trajectories sharing a start (<0.25 m) into
+                            forecast_id via connected components
+  trajectory_score() :495-508  first/last/add/mult re-ranking
+
+Works on fixed arrays from eval.decode.Detections: per sample, per timestep t
+the detections with label==t are that timestep's future-detection set.
+Host-side numpy (post-NMS sets are <=83 boxes x 7 timesteps).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+REJECT_THRESH = {"car": 2.0, "pedestrian": 1.0}
+MATCH_THRESH = 0.25
+
+
+@dataclass
+class Trajectory:
+    """One linked trajectory: boxes (T, 9) [x,y,z,w,l,h,vx,vy,yaw] and the
+    per-timestep detection scores used for re-ranking."""
+    boxes: np.ndarray
+    scores: np.ndarray
+    forecast_id: int = -1
+
+    @property
+    def det_score(self) -> float:
+        return float(self.scores[0])
+
+
+def split_by_timestep(boxes, scores, labels, valid, timesteps: int):
+    """Detections arrays (N, ...) -> per-timestep lists (ref :401-411)."""
+    out = []
+    for t in range(timesteps):
+        m = valid & (labels == t)
+        out.append((boxes[m], scores[m]))
+    return out
+
+
+def _dist_matrix(a, b):
+    return np.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)
+
+
+def match_boxes(per_t):
+    """Nearest-center match of every timestep's boxes to t=0's boxes
+    (ref :112-123). Returns list of Trajectory (constant ordering by t0)."""
+    b0 = per_t[0][0]
+    if len(b0) == 0:
+        return []
+    trajs = []
+    matched = []
+    for bt, st in per_t:
+        if len(bt) == 0:
+            matched.append((b0, per_t[0][1]))
+            continue
+        idx = np.argmin(_dist_matrix(b0[:, :2], bt[:, :2]), axis=1)
+        matched.append((bt[idx], st[idx]))
+    for j in range(len(b0)):
+        trajs.append(Trajectory(
+            boxes=np.stack([m[0][j] for m in matched]),
+            scores=np.array([m[1][j] for m in matched])))
+    return trajs
+
+
+def tracker(classname: str, times: Sequence[float], per_t) -> List[Trajectory]:
+    """Many-to-one dense linking (ref :125-257): forward association chains,
+    constant-velocity fallbacks, and backcast chains from future detections."""
+    reject = REJECT_THRESH.get(classname, 2.0)
+    T = len(per_t)
+    trajs: List[Trajectory] = []
+
+    def chains(seq, seq_times, extrapolate_sign):
+        """Greedy per-step association of consecutive sets; returns index
+        chains starting from every box of seq[0] (ref :141-179, :195-234)."""
+        idx_steps, dist_steps = [], []
+        for t in range(T - 1):
+            cur_b, _ = seq[t]
+            nxt_b, _ = seq[t + 1]
+            if len(cur_b) == 0 or len(nxt_b) == 0:
+                continue
+            pred = cur_b[:, :2] + extrapolate_sign * seq_times[t] * cur_b[:, 6:8]
+            d = _dist_matrix(pred, nxt_b[:, :2])
+            idx_steps.append(np.argmin(d, axis=1))
+            dist_steps.append(np.min(d, axis=1))
+        if len(idx_steps) != T - 1:
+            return []
+        out = []
+        n0 = len(seq[0][0])
+        for i in range(n0):
+            chain = [i]
+            void = False
+            for ind, dis in zip(idx_steps, dist_steps):
+                if dis[chain[-1]] > reject:
+                    void = True
+                chain.append(ind[chain[-1]])
+            if not void:
+                out.append(chain)
+        return out
+
+    if classname in ("car", "pedestrian"):
+        # forward chains
+        for chain in chains(per_t, list(times), +1.0):
+            trajs.append(Trajectory(
+                boxes=np.stack([per_t[t][0][j] for t, j in enumerate(chain)]),
+                scores=np.array([per_t[t][1][j] for t, j in enumerate(chain)])))
+
+        # constant-velocity forward (every t0 box; ref :182-192 — note the
+        # reference appends T+1 boxes [curr + T extrapolations]; we keep the
+        # T-length convention by extrapolating T-1 steps)
+        b0, s0 = per_t[0]
+        for j in range(len(b0)):
+            boxes = [b0[j].copy()]
+            for t in range(T - 1):
+                nb = boxes[-1].copy()
+                nb[:2] = nb[:2] + times[t] * b0[j][6:8]
+                boxes.append(nb)
+            trajs.append(Trajectory(boxes=np.stack(boxes),
+                                    scores=np.full(T, s0[j])))
+
+        # backcast chains: associate backwards from the future (ref :194-234)
+        rev = per_t[::-1]
+        rev_times = list(times)[::-1]
+        for chain in chains(rev, rev_times, -1.0):
+            boxes = [rev[t][0][j] for t, j in enumerate(chain)][::-1]
+            scores = [rev[t][1][j] for t, j in enumerate(chain)][::-1]
+            trajs.append(Trajectory(boxes=np.stack(boxes),
+                                    scores=np.array(scores)))
+    return trajs
+
+
+def constant_velocity_trajectories(per_t, times, reverse: bool = False):
+    """velocity_constant / velocity_forward / velocity_reverse modes
+    (ref :440-460): nearest-center matched boxes, then extrapolate t0's box
+    with each timestep's matched velocity."""
+    matched = match_boxes(per_t)
+    T = len(per_t)
+    out = []
+    tms = list(times)[::-1] if reverse else list(times)
+    for tr in matched:
+        boxes = [tr.boxes[0].copy()]
+        for i in range(T - 1):
+            nb = boxes[-1].copy()
+            sign = -1.0 if reverse else 1.0
+            nb[:2] = nb[:2] + sign * tms[i] * tr.boxes[i][6:8]
+            boxes.append(nb)
+        if reverse:
+            boxes = boxes[::-1]
+        out.append(Trajectory(boxes=np.stack(boxes), scores=tr.scores))
+    return out
+
+
+def link_sample(classname: str, forecast_mode: str, times, per_t
+                ) -> List[Trajectory]:
+    """Dispatch on forecast_mode (ref forecast_boxes(), :416-470)."""
+    if forecast_mode in ("velocity_constant", "velocity_forward"):
+        return constant_velocity_trajectories(per_t, times, reverse=False)
+    if forecast_mode == "velocity_reverse":
+        return constant_velocity_trajectories(per_t, times, reverse=True)
+    if forecast_mode == "velocity_dense":
+        return tracker(classname, times, per_t)
+    raise ValueError(f"unknown forecast_mode {forecast_mode}")
+
+
+def trajectory_score(tr: Trajectory, rerank: str, timesteps: int) -> float:
+    """ref :495-508."""
+    if rerank == "first":
+        return float(tr.scores[0])
+    if rerank == "last":
+        return float(tr.scores[-1])
+    if rerank == "add":
+        return float(np.sum(tr.scores[:timesteps]) / timesteps)
+    if rerank == "mult":
+        return float(np.prod(tr.scores[:timesteps]))
+    raise ValueError(rerank)
+
+
+class _UnionFind:
+    def __init__(self, n):
+        self.p = list(range(n))
+
+    def find(self, x):
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[rb] = ra
+
+
+def multi_future(trajs: List[Trajectory]) -> List[Trajectory]:
+    """Assign forecast_id by grouping trajectories whose t=0 centers are
+    within MATCH_THRESH (connected components, ref :299-339 — union-find in
+    place of networkx)."""
+    if not trajs:
+        return trajs
+    centers = np.stack([t.boxes[0][:2] for t in trajs])
+    d = _dist_matrix(centers, centers)
+    uf = _UnionFind(len(trajs))
+    ia, ib = np.where(d < MATCH_THRESH)
+    for a, b in zip(ia, ib):
+        uf.union(int(a), int(b))
+    roots = {}
+    for i, t in enumerate(trajs):
+        r = uf.find(i)
+        gid = roots.setdefault(r, len(roots))
+        t.forecast_id = gid
+    return trajs

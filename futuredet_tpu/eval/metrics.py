@@ -1,0 +1,324 @@
+"""Joint detection + forecasting evaluation metrics.
+
+Native re-implementation of the behavior of the external `nuscenes-forecast`
+devkit consumed by the reference (`eval_main`,
+`/root/reference/det3d/datasets/nuscenes/nusc_common.py:667-688`; metric
+names consumed at `/root/reference/evaluate.py:22-54,184-201`). The devkit's
+source is not in the reference repo; semantics are reconstructed from the
+standard nuScenes detection eval (which the fork extends), the FutureDet
+paper (arXiv:2203.16297) metric definitions, and the consumption sites:
+
+  mean_dist_aps  (mAP)   — center-distance AP at {0.5,1,2,4} m, matched at t=0
+  mean_dist_ars  (mAR)   — max recall at each threshold, averaged
+  mean_dist_faps (mFAP)  — forecasting AP: TP requires a match at t=0 AND at
+                           the FINAL timestep; ranked by forecast_score; with
+                           K>1, forecast_id groups are judged by their best
+                           member (multi-future top-K)
+  mean_dist_fars (mFAR)  — max recall of the FAP matching
+  mean_dist_aaps (mAAP)  — average AP: AP requiring a match at timestep t,
+                           averaged over all T timesteps
+  mean_dist_faps_mr      — FAP where the final-timestep criterion is the
+                           miss-rate threshold (2 m) instead of the sweep
+                           threshold
+  label_tp_errors        — ATE/ASE/AOE/AVE/AAE + ADE/FDE/MR computed over TPs
+                           of the 2 m matching, averaged over the recall range
+                           [10%, tp_pct]
+  cohort_analysis        — classes become {static,linear,nonlinear}_{cls}
+                           using GT trajectory labels (ref README.md:183)
+
+All inputs are plain numpy; this runs host-side after device decode+linking.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+DIST_THRESHOLDS = (0.5, 1.0, 2.0, 4.0)
+TP_DIST = 2.0
+MR_THRESH = 2.0
+MIN_RECALL = 0.1
+MIN_PRECISION = 0.1
+N_RECALL_SAMPLES = 101
+COHORTS = ("static", "linear", "nonlinear")
+
+
+@dataclass
+class PredRecord:
+    sample: str
+    centers: np.ndarray        # (T, 2) trajectory centers
+    size: np.ndarray           # (3,) w, l, h
+    yaw: float
+    vel: np.ndarray            # (2,)
+    det_score: float
+    forecast_score: float
+    forecast_id: int
+    classname: str
+
+
+@dataclass
+class GTRecord:
+    sample: str
+    centers: np.ndarray        # (T, 2)
+    size: np.ndarray
+    yaw: float
+    vel: np.ndarray
+    classname: str
+    cohort: str = "static"
+
+
+def _yaw_diff(a, b):
+    d = (a - b + np.pi) % (2 * np.pi) - np.pi
+    return abs(d)
+
+
+def _accumulate(preds: List[PredRecord], gts: List[GTRecord], dist_th: float,
+                *, use_forecast_score: bool, final_match_th: Optional[float],
+                match_timestep: int = 0, topk: int = 1):
+    """Greedy score-ordered matching (nuScenes accumulate()).
+
+    final_match_th: if set, a TP additionally requires final-timestep center
+    distance < final_match_th (forecasting AP).
+    match_timestep: which timestep's centers must match dist_th (for AAP).
+    With topk>1, predictions sharing (sample, forecast_id >= 0) form a group:
+    the group is evaluated once, by its best-matching member among the top-K
+    scored members; remaining members are ignored (multi-future semantics).
+
+    Returns dict with tp/fp cumsums, per-TP errors, npos.
+    """
+    npos = len(gts)
+    if npos == 0:
+        return None
+
+    # Predictions sharing (sample, forecast_id) are ONE multi-future group:
+    # grouping is unconditional (else the many-to-one tracker's extra
+    # trajectories at the same start box all count as FPs); topk controls how
+    # many members of a group may be tried against the GT.
+    key = lambda p: p.forecast_score if use_forecast_score else p.det_score
+    groups: Dict[Tuple[str, int], List[PredRecord]] = {}
+    singles: List[List[PredRecord]] = []
+    for p in preds:
+        if p.forecast_id >= 0:
+            groups.setdefault((p.sample, p.forecast_id), []).append(p)
+        else:
+            singles.append([p])
+    units = list(groups.values()) + singles
+    units = [sorted(u, key=key, reverse=True)[:max(topk, 1)] for u in units]
+    units.sort(key=lambda u: key(u[0]), reverse=True)
+
+    gt_by_sample: Dict[str, List[int]] = {}
+    for i, g in enumerate(gts):
+        gt_by_sample.setdefault(g.sample, []).append(i)
+    taken = np.zeros(npos, bool)
+
+    tp, fp = [], []
+    errs = {k: [] for k in ("trans_err", "scale_err", "orient_err", "vel_err",
+                            "attr_err", "avg_disp_err", "final_disp_err",
+                            "miss")}
+    conf = []
+    for unit in units:
+        matched = False
+        for p in unit:
+            cand = [i for i in gt_by_sample.get(p.sample, []) if not taken[i]]
+            if not cand:
+                continue
+            d0 = np.array([np.linalg.norm(
+                p.centers[match_timestep] - gts[i].centers[match_timestep])
+                for i in cand])
+            j = int(np.argmin(d0))
+            if d0[j] >= dist_th:
+                continue
+            gi = cand[j]
+            g = gts[gi]
+            if final_match_th is not None:
+                dF = np.linalg.norm(p.centers[-1] - g.centers[-1])
+                if dF >= final_match_th:
+                    continue
+            taken[gi] = True
+            matched = True
+            # TP errors (nuScenes definitions)
+            disp = np.linalg.norm(p.centers - g.centers, axis=1)
+            errs["trans_err"].append(float(disp[0]))
+            inter = np.prod(np.minimum(p.size, g.size))
+            union = np.prod(p.size) + np.prod(g.size) - inter
+            errs["scale_err"].append(1.0 - inter / max(union, 1e-9))
+            errs["orient_err"].append(_yaw_diff(p.yaw, g.yaw))
+            errs["vel_err"].append(float(np.linalg.norm(p.vel - g.vel)))
+            errs["attr_err"].append(0.0)
+            errs["avg_disp_err"].append(float(np.mean(disp)))
+            errs["final_disp_err"].append(float(disp[-1]))
+            errs["miss"].append(float(disp[-1] > MR_THRESH))
+            break
+        tp.append(1.0 if matched else 0.0)
+        fp.append(0.0 if matched else 1.0)
+        conf.append(key(unit[0]))
+
+    return {"tp": np.cumsum(tp), "fp": np.cumsum(fp), "conf": np.array(conf),
+            "errs": {k: np.array(v) for k, v in errs.items()}, "npos": npos}
+
+
+def _calc_ap(acc) -> Tuple[float, float]:
+    """nuScenes calc_ap + max recall. Returns (ap, max_recall)."""
+    if acc is None or len(acc["tp"]) == 0:
+        return 0.0, 0.0
+    rec = acc["tp"] / acc["npos"]
+    prec = acc["tp"] / (acc["tp"] + acc["fp"])
+    rec_interp = np.linspace(0, 1, N_RECALL_SAMPLES)
+    prec_i = np.interp(rec_interp, rec, prec, right=0)
+    start = round(100 * MIN_RECALL) + 1
+    p = prec_i[start:] - MIN_PRECISION
+    p[p < 0] = 0
+    return float(np.mean(p) / (1 - MIN_PRECISION)), float(rec[-1])
+
+
+def _calc_tp_errors(acc, tp_pct: float) -> Dict[str, float]:
+    """Cumulative-mean TP errors averaged over recall in [10%, tp_pct]
+    (nuScenes calc_tp with the fork's tp_pct recall cap)."""
+    out = {}
+    names = ["trans_err", "scale_err", "orient_err", "vel_err", "attr_err",
+             "avg_disp_err", "final_disp_err"]
+    if acc is None or len(acc["tp"]) == 0 or acc["tp"][-1] == 0:
+        return {k: 1.0 for k in names} | {"miss_rate": 1.0}
+    rec = acc["tp"] / acc["npos"]
+    tp_mask = (np.diff(np.concatenate([[0.0], acc["tp"]])) > 0)
+    rec_interp = np.linspace(0, 1, N_RECALL_SAMPLES)
+    max_rec = min(rec[-1], tp_pct)
+    last = int(round(100 * max_rec)) + 1
+    first = round(100 * MIN_RECALL) + 1
+    for name in names + ["miss"]:
+        e = acc["errs"][name]
+        if len(e) == 0:
+            out[name if name != "miss" else "miss_rate"] = 1.0
+            continue
+        cum = np.cumsum(e) / np.arange(1, len(e) + 1)
+        rec_tp = rec[tp_mask]
+        ei = np.interp(rec_interp, rec_tp, cum, right=cum[-1])
+        if last <= first:
+            val = float(cum[-1])
+        else:
+            val = float(np.mean(ei[first:last]))
+        out[name if name != "miss" else "miss_rate"] = val
+    return out
+
+
+@dataclass
+class EvalResult:
+    mean_dist_aps: Dict[str, float]
+    mean_dist_ars: Dict[str, float]
+    mean_dist_faps: Dict[str, float]
+    mean_dist_fars: Dict[str, float]
+    mean_dist_aaps: Dict[str, float]
+    mean_dist_aars: Dict[str, float]
+    mean_dist_faps_mr: Dict[str, float]
+    label_tp_errors: Dict[str, Dict[str, float]]
+
+    def summary(self) -> Dict:
+        return {
+            "mean_dist_aps": self.mean_dist_aps,
+            "mean_dist_ars": self.mean_dist_ars,
+            "mean_dist_faps": self.mean_dist_faps,
+            "mean_dist_fars": self.mean_dist_fars,
+            "mean_dist_aaps": self.mean_dist_aaps,
+            "mean_dist_aars": self.mean_dist_aars,
+            "mean_dist_faps_mr": self.mean_dist_faps_mr,
+            "label_tp_errors": self.label_tp_errors,
+        }
+
+
+def classify_cohort(centers: np.ndarray, vel: np.ndarray, size: np.ndarray,
+                    seconds: float) -> str:
+    """static/linear/nonlinear by the reference trajectory() rule
+    (nusc_common.py:311-333) applied to a trajectory's own motion."""
+    target = centers[-1]
+    thresh = max(size[0], size[1])
+    if np.linalg.norm(target - centers[0]) < thresh:
+        return "static"
+    if np.linalg.norm(target - (centers[0] + vel * seconds)) < thresh:
+        return "linear"
+    return "nonlinear"
+
+
+def evaluate_forecasts(preds: List[PredRecord], gts: List[GTRecord],
+                       class_names: Sequence[str], *, tp_pct: float = 0.6,
+                       cohort_analysis: bool = False, topk: int = 1,
+                       static_only: bool = False,
+                       horizon_seconds: float = 3.0) -> EvalResult:
+    """Full metric computation over all samples."""
+    if cohort_analysis:
+        eval_classes = [f"{c}_{cls}" for cls in class_names for c in COHORTS]
+
+        def gt_class(g):
+            return f"{g.cohort}_{g.classname}"
+
+        def pred_classes(p):
+            # predictions self-classify by their own predicted motion, with
+            # the same static/linear/nonlinear rule used for GT tracklets
+            c = classify_cohort(p.centers, p.vel, p.size, horizon_seconds)
+            return [f"{c}_{p.classname}"]
+    else:
+        eval_classes = list(class_names)
+
+        def gt_class(g):
+            return g.classname
+
+        def pred_classes(p):
+            return [p.classname]
+
+    if static_only:
+        gts = [g for g in gts if g.cohort == "static"]
+
+    aps, ars, faps, fars, aaps, aars, faps_mr = ({} for _ in range(7))
+    tp_errors = {}
+    T = gts[0].centers.shape[0] if gts else 1
+
+    for cls in eval_classes:
+        cls_gts = [g for g in gts if gt_class(g) == cls]
+        cls_preds = [p for p in preds if cls in pred_classes(p)]
+
+        ap_list, ar_list, fap_list, far_list = [], [], [], []
+        aap_list, aar_list, fapmr_list = [], [], []
+        for th in DIST_THRESHOLDS:
+            acc = _accumulate(cls_preds, cls_gts, th, use_forecast_score=False,
+                              final_match_th=None)
+            ap, ar = _calc_ap(acc)
+            ap_list.append(ap)
+            ar_list.append(ar)
+
+            facc = _accumulate(cls_preds, cls_gts, th, use_forecast_score=True,
+                               final_match_th=th, topk=topk)
+            fap, far = _calc_ap(facc)
+            fap_list.append(fap)
+            far_list.append(far)
+
+            fmracc = _accumulate(cls_preds, cls_gts, th,
+                                 use_forecast_score=True,
+                                 final_match_th=MR_THRESH, topk=topk)
+            fapmr_list.append(_calc_ap(fmracc)[0])
+
+            taps, tars = [], []
+            for t in range(T):
+                tacc = _accumulate(cls_preds, cls_gts, th,
+                                   use_forecast_score=True,
+                                   final_match_th=None, match_timestep=t,
+                                   topk=topk)
+                a, r = _calc_ap(tacc)
+                taps.append(a)
+                tars.append(r)
+            aap_list.append(float(np.mean(taps)))
+            aar_list.append(float(np.mean(tars)))
+
+        aps[cls] = float(np.mean(ap_list))
+        ars[cls] = float(np.mean(ar_list))
+        faps[cls] = float(np.mean(fap_list))
+        fars[cls] = float(np.mean(far_list))
+        aaps[cls] = float(np.mean(aap_list))
+        aars[cls] = float(np.mean(aar_list))
+        faps_mr[cls] = float(np.mean(fapmr_list))
+
+        acc_tp = _accumulate(cls_preds, cls_gts, TP_DIST,
+                             use_forecast_score=True, final_match_th=None,
+                             topk=topk)
+        tp_errors[cls] = _calc_tp_errors(acc_tp, tp_pct)
+
+    return EvalResult(aps, ars, faps, fars, aaps, aars, faps_mr, tp_errors)
