@@ -149,8 +149,12 @@ class ModelConfig:
     pillar_filters: Tuple[int, ...] = (64,)
     rpn: RPNConfig = field(default_factory=RPNConfig)
     head: HeadConfig = field(default_factory=HeadConfig)
-    # sparse middle encoder channel plan (ref: scn.py:98-146)
+    # sparse middle encoder (ref: scn.py:98-146)
+    middle: str = "sparse"            # "sparse" | "dense" (BEV fallback tower)
     middle_channels: Tuple[int, ...] = (16, 32, 64, 128)
+    # active-site capacity per stage (static buffers for the gather-scatter
+    # submanifold convs)
+    middle_vmax: Tuple[int, ...] = (120000, 60000, 30000, 16000)
 
 
 @dataclass(frozen=True)

@@ -75,17 +75,59 @@ class PointPillarsDetector(nn.Module):
 
 
 class VoxelNetDetector(nn.Module):
-    """VoxelNet path. Round-1 middle encoder: dense BEV fallback — mean-VFE
-    voxels scattered into a z-stacked BEV image, crushed by a 1x1 conv, then
-    a strided conv tower standing in for SpMiddleResNetFHD's stride-8 3D
-    pyramid (ref scn.py:84-177). The submanifold sparse-conv middle encoder
-    replaces this in a later milestone; the public interface is identical.
-    """
+    """VoxelNet path: mean-VFE -> sparse submanifold middle encoder -> RPN ->
+    CenterHead (ref det3d/models/detectors/voxelnet.py + scn.py). Set
+    cfg.model.middle="dense" for the dense BEV fallback tower."""
     cfg: ExperimentConfig
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, points, points_valid, bev_map=None, train: bool = False):
+        from ..ops.voxelize import voxelize_mean
+        from .middle import SparseMiddleEncoder
+
+        c = self.cfg
+        if c.model.middle != "sparse":
+            return self._dense_path(points, points_valid, bev_map, train)
+        B = points.shape[0]
+        max_v = c.voxel.max_voxels_train if train else c.voxel.max_voxels_eval
+        gx, gy, gz = c.voxel.grid_size
+
+        feats, coords, num_points, _ = jax.vmap(
+            lambda p, v: voxelize_mean(
+                p, v, jnp.asarray(c.voxel.pc_range),
+                jnp.asarray(c.voxel.voxel_size), grid_size=c.voxel.grid_size,
+                max_voxels=max_v,
+                max_points=c.voxel.max_points_per_voxel))(points, points_valid)
+        vvalid = coords[:, :, 0] >= 0
+
+        bn_axes = ("batch",) if self.axis_name is None \
+            else ("batch", self.axis_name)
+        mid = nn.vmap(
+            SparseMiddleEncoder,
+            in_axes=(0, 0, 0, None), out_axes=0,
+            variable_axes={"params": None, "batch_stats": None},
+            split_rngs={"params": False}, axis_name="batch",
+            methods=["__call__"])(
+                channels=c.model.middle_channels,
+                vmax=c.model.middle_vmax,
+                grid_zyx=(gz + 1, gy, gx),
+                axis_name=bn_axes, name="middle")
+        x = mid(feats, coords, vvalid, train)          # (B, Y8, X8, Z4*128)
+
+        x = ConvBNReLU(c.model.rpn.in_channels, 1, 1, use_bias=False,
+                       axis_name=self.axis_name, name="z_crush")(x, train)
+
+        x = RPN(layer_nums=c.model.rpn.layer_nums,
+                ds_strides=c.model.rpn.ds_strides,
+                ds_filters=c.model.rpn.ds_filters,
+                us_strides=c.model.rpn.us_strides,
+                us_filters=c.model.rpn.us_filters,
+                axis_name=self.axis_name, name="neck")(x, train)
+        return CenterHead(cfg=c.model.head, axis_name=self.axis_name,
+                          name="head")(x, bev_map=bev_map, train=train)
+
+    def _dense_path(self, points, points_valid, bev_map, train):
         c = self.cfg
         B = points.shape[0]
         max_v = c.voxel.max_voxels_train if train else c.voxel.max_voxels_eval

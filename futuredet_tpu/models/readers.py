@@ -29,7 +29,10 @@ from .layers import BN_EPS, BN_MOMENTUM
 
 
 class MaskedBatchNorm(nn.Module):
-    """BatchNorm over a flat (N, C) point set with a validity mask."""
+    """BatchNorm over a flat (N, C) point set with a validity mask.
+
+    axis_name may be a single mesh/vmap axis or a tuple (e.g.
+    ("batch", "data")) — statistics are pmean'ed over all of them."""
     axis_name: Optional[str] = None
 
     @nn.compact

@@ -1,0 +1,139 @@
+"""Submanifold / strided sparse 3D convolution — gather-scatter, static shapes.
+
+TPU-native replacement for the spconv library consumed by the reference
+middle encoder (`/root/reference/det3d/models/backbones/scn.py:2-3`,
+SubMConv3d / SparseConv3d). No rulebook state machine, no dynamic shapes:
+
+  * active sites live in fixed-capacity buffers: coords (V, 3) zyx sorted by
+    linear id, features (V, C), validity mask
+  * neighbor lookup = binary search (searchsorted) of `site_id + offset_id`
+    in the sorted id array — one (K, V) index table per conv topology
+  * conv = for each of the K kernel offsets: gather -> (V, Cin) x (Cin, Cout)
+    matmul -> accumulate. The matmuls batch onto the MXU; the gathers are
+    HBM-bandwidth bound, which is the same regime spconv's CUDA kernels
+    occupy.
+  * strided conv ("generative" downsample): output sites = dedupe(coords//2),
+    a sort + run-boundary compaction (same machinery as the voxelizer)
+
+Submanifold convs (stride 1) share one neighbor table per stage — mirroring
+spconv's indice_key caching (ref scn.py:20,99) at trace time for free.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SparseGrid(NamedTuple):
+    coords: jax.Array    # (V, 3) int32 zyx, sorted by linear id; -1 padded
+    ids: jax.Array       # (V,) int32 linear ids; sentinel (=prod(dims)) padded
+    valid: jax.Array     # (V,) bool
+    dims: Tuple[int, int, int]  # (Z, Y, X) static
+
+
+def linear_ids(coords, dims):
+    z, y, x = coords[:, 0], coords[:, 1], coords[:, 2]
+    return (z * dims[1] + y) * dims[2] + x
+
+
+def make_grid(coords, valid, dims: Tuple[int, int, int]) -> SparseGrid:
+    """coords (V,3) zyx (any order) -> sorted SparseGrid."""
+    sentinel = dims[0] * dims[1] * dims[2]
+    ids = jnp.where(valid, linear_ids(coords, dims), sentinel)
+    order = jnp.argsort(ids)
+    ids = ids[order]
+    return SparseGrid(coords=coords[order], ids=ids, valid=ids < sentinel,
+                      dims=dims)
+
+
+def _offsets(kernel: int = 3):
+    r = kernel // 2
+    out = []
+    for dz in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                out.append((dz, dy, dx))
+    return out
+
+
+def neighbor_table(grid: SparseGrid, kernel: int = 3) -> jax.Array:
+    """(K, V) gather indices into the site array; V (trash) where absent."""
+    V = grid.ids.shape[0]
+    dims = grid.dims
+    offs = np.array(_offsets(kernel), np.int32)            # (K, 3)
+    c = grid.coords[None, :, :] + offs[:, None, :]         # (K, V, 3)
+    inb = jnp.all((c >= 0) & (c < jnp.asarray(dims, jnp.int32)), axis=-1)
+    q = (c[..., 0] * dims[1] + c[..., 1]) * dims[2] + c[..., 2]
+    pos = jnp.searchsorted(grid.ids, q)                    # (K, V)
+    pos = jnp.minimum(pos, V - 1)
+    hit = (jnp.take(grid.ids, pos) == q) & inb & grid.valid[None, :]
+    return jnp.where(hit, pos, V)
+
+
+def subm_conv_apply(features, table, weights, bias=None):
+    """Submanifold conv: features (V, Cin), table (K, V), weights (K, Cin, Cout).
+
+    Output defined on the SAME active sites (submanifold semantics,
+    ref spconv SubMConv3d).
+    """
+    V, Cin = features.shape
+    K = table.shape[0]
+    padded = jnp.concatenate([features, jnp.zeros((1, Cin), features.dtype)], 0)
+    out = None
+    for k in range(K):
+        g = padded[table[k]]                               # (V, Cin)
+        acc = g @ weights[k]                               # MXU
+        out = acc if out is None else out + acc
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def downsample_coords(grid: SparseGrid, out_dims: Tuple[int, int, int],
+                      max_out: int) -> SparseGrid:
+    """Output sites of a stride-2 sparse conv: dedupe(coords // 2)."""
+    c2 = jnp.where(grid.valid[:, None], grid.coords // 2, -1)
+    sentinel = out_dims[0] * out_dims[1] * out_dims[2]
+    ids = jnp.where(grid.valid, linear_ids(c2, out_dims), sentinel)
+    order = jnp.argsort(ids)
+    sids = ids[order]
+    sc = c2[order]
+    is_first = (sids < sentinel) & jnp.concatenate(
+        [jnp.ones((1,), bool), sids[1:] != sids[:-1]])
+    slot = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    tgt = jnp.where(is_first & (slot < max_out), slot, max_out)
+    out_coords = jnp.full((max_out + 1, 3), -1, jnp.int32).at[tgt].set(sc)
+    out_ids = jnp.full((max_out + 1,), sentinel, jnp.int32).at[tgt].set(
+        sids.astype(jnp.int32))
+    return SparseGrid(coords=out_coords[:max_out], ids=out_ids[:max_out],
+                      valid=out_ids[:max_out] < sentinel, dims=out_dims)
+
+
+def strided_gather_table(in_grid: SparseGrid, out_grid: SparseGrid,
+                         kernel: int = 3) -> jax.Array:
+    """(K, V_out) indices into input sites for a kernel-3 stride-2 pad-1 conv:
+    input position for output o and offset k is 2*o + k - 1."""
+    V_in = in_grid.ids.shape[0]
+    offs = np.array(_offsets(kernel), np.int32)            # (K, 3)
+    c = 2 * out_grid.coords[None, :, :] + offs[:, None, :]
+    dims = in_grid.dims
+    inb = jnp.all((c >= 0) & (c < jnp.asarray(dims, jnp.int32)), axis=-1)
+    q = (c[..., 0] * dims[1] + c[..., 1]) * dims[2] + c[..., 2]
+    pos = jnp.searchsorted(in_grid.ids, q)
+    pos = jnp.minimum(pos, V_in - 1)
+    hit = (jnp.take(in_grid.ids, pos) == q) & inb & out_grid.valid[None, :]
+    return jnp.where(hit, pos, V_in)
+
+
+def scatter_dense(features, grid: SparseGrid):
+    """(V, C) active features -> dense (Z, Y, X, C)."""
+    Z, Y, X = grid.dims
+    idx = jnp.where(grid.valid, grid.ids, Z * Y * X)
+    canvas = jnp.zeros((Z * Y * X + 1, features.shape[-1]), features.dtype)
+    canvas = canvas.at[idx].set(
+        jnp.where(grid.valid[:, None], features, 0.0))
+    return canvas[:-1].reshape(Z, Y, X, features.shape[-1])

@@ -16,7 +16,7 @@ def tiny_cfg(timesteps=1, dense=False, forecast_feature=False,
              detector="pointpillars"):
     voxel = VoxelConfig(pc_range=(-8.0, -8.0, -3.0, 8.0, 8.0, 3.0),
                         voxel_size=(0.5, 0.5, 6.0) if detector == "pointpillars"
-                        else (0.2, 0.2, 0.5),
+                        else (0.5, 0.5, 0.5),
                         max_points_per_voxel=8, max_voxels_train=512,
                         max_voxels_eval=512, max_points=1024)
     rpn = RPNConfig(layer_nums=(1, 1), ds_strides=(1, 2), ds_filters=(32, 64),
@@ -30,7 +30,9 @@ def tiny_cfg(timesteps=1, dense=False, forecast_feature=False,
         name="tiny", timesteps=timesteps,
         model=ModelConfig(detector=detector, rpn=rpn, head=head,
                           reader="pillar_feature_net"
-                          if detector == "pointpillars" else "mean_vfe"),
+                          if detector == "pointpillars" else "mean_vfe",
+                          middle_channels=(8, 16, 16, 32),
+                          middle_vmax=(512, 256, 128, 64)),
         voxel=voxel,
         test=TestConfig(post_center_limit_range=(-10., -10., -10., 10., 10., 10.),
                         nms=NMSConfig(pre_max_size=128, post_max_size=32)),

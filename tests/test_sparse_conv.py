@@ -1,0 +1,111 @@
+"""Sparse conv primitives vs dense 3D conv oracle."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from futuredet_tpu.ops import sparse_conv as SC
+
+
+def _rand_sparse(seed, dims=(8, 10, 12), n=60, V=128, C=4):
+    rng = np.random.default_rng(seed)
+    # unique coords
+    lin = rng.choice(dims[0] * dims[1] * dims[2], n, replace=False)
+    z = lin // (dims[1] * dims[2])
+    y = (lin // dims[2]) % dims[1]
+    x = lin % dims[2]
+    coords = np.zeros((V, 3), np.int32)
+    coords[:n] = np.stack([z, y, x], -1)
+    valid = np.zeros(V, bool)
+    valid[:n] = True
+    feats = np.zeros((V, C), np.float32)
+    feats[:n] = rng.normal(size=(n, C))
+    return coords, valid, feats
+
+
+def _dense_from_sparse(coords, valid, feats, dims):
+    d = np.zeros(dims + (feats.shape[-1],), np.float32)
+    for c, v, f in zip(coords, valid, feats):
+        if v:
+            d[c[0], c[1], c[2]] = f
+    return d
+
+
+def test_subm_conv_matches_dense_conv_on_active_sites():
+    dims = (8, 10, 12)
+    coords, valid, feats = _rand_sparse(0, dims)
+    rng = np.random.default_rng(1)
+    Cout = 5
+    W = rng.normal(size=(27, 4, Cout)).astype(np.float32) * 0.1
+
+    grid = SC.make_grid(jnp.asarray(coords), jnp.asarray(valid), dims)
+    # features must follow the grid's sort order
+    order = np.argsort(np.where(valid,
+                                (coords[:, 0] * dims[1] + coords[:, 1])
+                                * dims[2] + coords[:, 2], np.prod(dims)))
+    sfeats = feats[order]
+    table = SC.neighbor_table(grid)
+    out = np.asarray(SC.subm_conv_apply(jnp.asarray(sfeats), table,
+                                        jnp.asarray(W)))
+
+    # dense oracle: full 3x3x3 conv, then evaluated AT the active sites only
+    dense = _dense_from_sparse(coords, valid, feats, dims)
+    ref = np.zeros(dims + (Cout,), np.float32)
+    k = 0
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                shifted = np.zeros_like(dense)
+                zs = slice(max(dz, 0), dims[0] + min(dz, 0))
+                zd = slice(max(-dz, 0), dims[0] + min(-dz, 0))
+                ys = slice(max(dy, 0), dims[1] + min(dy, 0))
+                yd = slice(max(-dy, 0), dims[1] + min(-dy, 0))
+                xs = slice(max(dx, 0), dims[2] + min(dx, 0))
+                xd = slice(max(-dx, 0), dims[2] + min(-dx, 0))
+                shifted[zd, yd, xd] = dense[zs, ys, xs]
+                ref += shifted @ W[k]
+                k += 1
+
+    g_coords = np.asarray(grid.coords)
+    g_valid = np.asarray(grid.valid)
+    for i in range(len(g_valid)):
+        if not g_valid[i]:
+            continue
+        z, y, x = g_coords[i]
+        np.testing.assert_allclose(out[i], ref[z, y, x], rtol=1e-4, atol=1e-5)
+
+
+def test_downsample_dedupes_and_strided_table_hits():
+    dims = (8, 8, 8)
+    coords = np.array([[0, 0, 0], [0, 0, 1], [1, 1, 1], [2, 2, 2], [7, 7, 7]],
+                      np.int32)
+    V = 16
+    c = np.zeros((V, 3), np.int32)
+    c[:5] = coords
+    valid = np.zeros(V, bool)
+    valid[:5] = True
+    grid = SC.make_grid(jnp.asarray(c), jnp.asarray(valid), dims)
+    out_dims = (4, 4, 4)
+    ng = SC.downsample_coords(grid, out_dims, 8)
+    got = {tuple(x) for x, v in zip(np.asarray(ng.coords).tolist(),
+                                    np.asarray(ng.valid).tolist()) if v}
+    assert got == {(0, 0, 0), (1, 1, 1), (3, 3, 3)}
+
+    tbl = np.asarray(SC.strided_gather_table(grid, ng))
+    # every input voxel must be reachable from some (offset, out_site) pair
+    hit_inputs = set(tbl[tbl < V].tolist())
+    active_idx = {i for i in range(V) if np.asarray(grid.valid)[i]}
+    assert active_idx <= hit_inputs
+
+
+def test_voxelnet_sparse_forward_and_grads():
+    from futuredet_tpu.models.detector import build_detector
+    from tests.test_models import tiny_cfg, rand_points
+
+    cfg = tiny_cfg(1, False, False, detector="voxelnet")
+    model = build_detector(cfg)
+    pts, valid = rand_points(B=2, P=cfg.voxel.max_points)
+    variables = model.init(jax.random.PRNGKey(0), pts, valid, train=False)
+    preds = model.apply(variables, pts, valid, train=False)
+    W, H = cfg.feature_map_size
+    assert preds[0]["hm"].shape == (2, H, W, 1)
+    assert np.isfinite(np.asarray(preds[0]["hm"])).all()
