@@ -1,0 +1,139 @@
+"""Evaluation CLI — mirrors the reference surface.
+
+ref `/root/reference/evaluate.py` flags (README.md:174-185): --forecast_mode,
+--rerank, --tp_pct, --cohort_analysis, --K, --static_only, --nogroup,
+--extractBox. Produces the metric CSV columns of evaluate.py:22-54.
+
+  python -m futuredet_tpu.cli.evaluate --model forecast_n0 --synthetic 8 \
+      --forecast_mode velocity_constant --cohort_analysis
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate a FutureDet-TPU model")
+    p.add_argument("--model", default="forecast_n0")
+    p.add_argument("--experiment", default="FutureDetection")
+    p.add_argument("--dataset", default="nusc")
+    p.add_argument("--architecture", default="centerpoint")
+    p.add_argument("--info_path", default=None)
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--modelCheckPoint", default="latest")
+    p.add_argument("--forecast_mode", default="velocity_forward")
+    p.add_argument("--rerank", default="last",
+                   choices=["first", "last", "add", "mult"])
+    p.add_argument("--tp_pct", type=float, default=0.6)
+    p.add_argument("--K", type=int, default=1)
+    p.add_argument("--cohort_analysis", action="store_true")
+    p.add_argument("--static_only", action="store_true")
+    p.add_argument("--nogroup", action="store_true")
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--out", default=None, help="metrics json path")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tiny", action="store_true",
+                   help="shrunken geometry for smoke tests")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    import jax
+    import numpy as np
+
+    from ..config import get_config
+    from ..eval.decode import decode_and_nms
+    from ..train.checkpoints import CheckpointManager
+    from ..train.step import init_state, make_eval_forward
+
+    args = parse_args(argv)
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s", force=True)
+    cfg = get_config(args.model)
+    if args.tiny:
+        from ..config import tiny_variant
+        cfg = tiny_variant(cfg)
+    classname = cfg.data.class_names[0]
+
+    if args.synthetic:
+        from ..data.synthetic import make_batch
+        eval_batches = [make_batch(cfg, args.batch_size, seed=args.seed + i)
+                        for i in range(max(args.synthetic // args.batch_size, 1))]
+        for i, b in enumerate(eval_batches):
+            b["tokens"] = [f"syn{i}_{j}" for j in range(args.batch_size)]
+    else:
+        if not args.info_path or not os.path.exists(args.info_path):
+            raise SystemExit(
+                "no dataset: pass --info_path <infos pkl> or --synthetic N")
+        from ..data.pipeline import NuScenesForecastDataset, \
+            batches_from_dataset
+        ds = NuScenesForecastDataset(cfg, args.info_path, train=False,
+                                     class_balanced=False)
+        eval_batches = list(batches_from_dataset(
+            ds, cfg, args.batch_size, shuffle=False, loop=False))
+
+    first = {k: v for k, v in eval_batches[0].items()
+             if k in ("points", "points_valid", "targets")}
+    state = init_state(cfg, jax.random.PRNGKey(0),
+                       jax.tree.map(lambda x: x[:1], first), total_steps=1)
+    ckpt_dir = args.checkpoint_dir or os.path.abspath(
+        f"models/{args.experiment}/{args.dataset}_{args.architecture}_"
+        f"{args.model}_detection")
+    if os.path.isdir(ckpt_dir):
+        try:
+            mgr = CheckpointManager(ckpt_dir)
+            state = mgr.restore(jax.device_get(state))
+            logging.info("restored checkpoint step %d", int(state.step))
+        except FileNotFoundError:
+            logging.warning("no checkpoint in %s — evaluating random init",
+                            ckpt_dir)
+
+    fwd = make_eval_forward(cfg)
+    all_preds = []
+    for b in eval_batches:
+        batch = {k: v for k, v in b.items()
+                 if k in ("points", "points_valid")}
+        preds = fwd(state.params, state.batch_stats, batch)
+        det = jax.device_get(decode_and_nms(cfg, preds))
+        all_preds.append((det, b["gt"], b["tokens"]))
+
+    # full-set evaluation across all batches
+    from ..eval.evaluator import detections_to_predictions, \
+        gt_records_from_arrays
+    from ..eval.metrics import evaluate_forecasts
+    preds, gts = [], []
+    for det, gt, tokens in all_preds:
+        p = detections_to_predictions(
+            cfg, det, tokens, forecast_mode=args.forecast_mode,
+            classname=classname, rerank=args.rerank, nogroup=args.nogroup)
+        for x in p:
+            x.yaw = float(-x.yaw - np.pi / 2)
+        preds += p
+        gts += gt_records_from_arrays(gt["boxes"], gt["valid"],
+                                      gt.get("traj"), tokens, classname)
+    results = evaluate_forecasts(
+        preds, gts, [classname], tp_pct=args.tp_pct,
+        cohort_analysis=args.cohort_analysis, topk=args.K,
+        static_only=args.static_only)
+
+    summary = results.summary()
+    out_path = args.out or f"metrics_{args.model}_{args.forecast_mode}.json"
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=2)
+    for cls, v in summary["mean_dist_aps"].items():
+        logging.info("%s: mAP %.4f mFAP %.4f mAAP %.4f ADE %.3f FDE %.3f MR %.3f",
+                     cls, v, summary["mean_dist_faps"][cls],
+                     summary["mean_dist_aaps"][cls],
+                     summary["label_tp_errors"][cls]["avg_disp_err"],
+                     summary["label_tp_errors"][cls]["final_disp_err"],
+                     summary["label_tp_errors"][cls]["miss_rate"])
+    logging.info("metrics written to %s", out_path)
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Training CLI — mirrors the reference launcher surface.
+
+ref `/root/reference/train.py` + `tools/train.py`: model names resolve to
+configs; work dirs are `models/{experiment}/{config_name}`. Data comes from
+nuScenes infos when --info_path exists, else from the synthetic scene
+generator (--synthetic N). No torch.distributed launcher: the data-parallel
+mesh is in-process (SURVEY.md §2.2).
+
+  python -m futuredet_tpu.cli.train --model forecast_n0 --synthetic 64 \
+      --epochs 2 --batch_size 2
+"""
+from __future__ import annotations
+
+import argparse
+import itertools
+import logging
+import os
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train a FutureDet-TPU model")
+    p.add_argument("--model", default="forecast_n0",
+                   help="config name (forecast_n0/n3/n3dtf[m], pedestrian_*, pp_*)")
+    p.add_argument("--experiment", default="FutureDetection")
+    p.add_argument("--dataset", default="nusc")
+    p.add_argument("--architecture", default="centerpoint")
+    p.add_argument("--info_path", default=None, help="nuScenes infos pkl")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N synthetic scenes instead of real data")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--work_dir", default=None)
+    p.add_argument("--resume_from", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tiny", action="store_true",
+                   help="shrunken geometry for smoke tests")
+    p.add_argument("--debug", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    from ..config import get_config
+    from ..train.trainer import train
+
+    args = parse_args(argv)
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s", force=True)
+    cfg = get_config(args.model)
+    if args.tiny:
+        from ..config import tiny_variant
+        cfg = tiny_variant(cfg)
+    if args.epochs:
+        cfg = cfg.replace(train=cfg.train.__class__(
+            total_epochs=args.epochs, optim=cfg.train.optim, seed=args.seed,
+            log_interval=cfg.train.log_interval,
+            checkpoint_interval_epochs=cfg.train.checkpoint_interval_epochs))
+
+    work_dir = args.work_dir or os.path.abspath(
+        f"models/{args.experiment}/{args.dataset}_{args.architecture}_"
+        f"{args.model}_detection")
+    batch_size = args.batch_size or cfg.train.batch_size_per_device
+
+    if args.synthetic:
+        from ..data.synthetic import make_batch
+        n_batches = max(args.synthetic // batch_size, 1)
+        cached = []
+        for i in range(n_batches):
+            b = make_batch(cfg, batch_size, seed=args.seed + i)
+            b.pop("gt")
+            cached.append(b)
+        batches = itertools.cycle(cached)
+        steps_per_epoch = n_batches
+    else:
+        if not args.info_path or not os.path.exists(args.info_path):
+            raise SystemExit(
+                "no dataset: pass --info_path <infos pkl> or --synthetic N")
+        from ..data.pipeline import NuScenesForecastDataset, \
+            batches_from_dataset
+        ds = NuScenesForecastDataset(cfg, args.info_path, train=True,
+                                     seed=args.seed)
+        batches = ({k: v for k, v in b.items() if k not in ("gt", "tokens")}
+                   for b in batches_from_dataset(ds, cfg, batch_size,
+                                                 seed=args.seed))
+        steps_per_epoch = max(len(ds) // batch_size, 1)
+
+    state = train(cfg, batches, steps_per_epoch=steps_per_epoch,
+                  work_dir=work_dir, resume=args.resume_from)
+    logging.info("training done at step %d; checkpoints in %s",
+                 int(state.step), work_dir)
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -290,3 +290,28 @@ CONFIG_NAMES = [
     "pedestrian_forecast_n3dtf", "pedestrian_forecast_n3dtfm",
     "pp_forecast_n3dtf", "pp_pedestrian_forecast_n3dtf",
 ]
+
+
+def tiny_variant(cfg: ExperimentConfig) -> ExperimentConfig:
+    """Shrunken geometry for smoke tests / CI: same structure (head modes,
+    timesteps, detector), tiny grids and budgets."""
+    pp = cfg.model.detector == "pointpillars"
+    voxel = VoxelConfig(
+        pc_range=(-8.0, -8.0, -3.0, 8.0, 8.0, 3.0),
+        voxel_size=(0.5, 0.5, 6.0) if pp else (0.5, 0.5, 0.5),
+        max_points_per_voxel=8, max_voxels_train=512, max_voxels_eval=512,
+        max_points=1024)
+    rpn = RPNConfig(layer_nums=(1, 1), ds_strides=(1, 2), ds_filters=(32, 64),
+                    us_strides=(1, 2), us_filters=(64, 64), in_channels=64)
+    head = dataclasses.replace(cfg.model.head, in_channels=128,
+                               share_conv_channel=32)
+    model = dataclasses.replace(
+        cfg.model, rpn=rpn, head=head, middle_channels=(8, 16, 16, 32),
+        middle_vmax=(512, 256, 128, 64))
+    return cfg.replace(
+        model=model, voxel=voxel,
+        test=TestConfig(post_center_limit_range=(-10., -10., -10., 10., 10., 10.),
+                        nms=NMSConfig(pre_max_size=128, post_max_size=32)),
+        assigner=dataclasses.replace(cfg.assigner,
+                                     out_size_factor=1 if pp else 8,
+                                     max_objs=16))

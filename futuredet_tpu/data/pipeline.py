@@ -1,0 +1,226 @@
+"""Dataset pipeline: infos-pkl loading, sweep aggregation, augmentation,
+fixed-shape example assembly, batching.
+
+Behavioral ports:
+  * sweep aggregation + time-lag channel + remove_close —
+    `det3d/datasets/pipelines/loading.py:36-140` (seeded random sweep subset,
+    rng(0).choice, ref :128-133)
+  * class-balanced resampling (CBGS) — `nuscenes.py:556-597`
+  * train augmentation sequence — `pipelines/preprocess.py:189-192`
+  * fixed-shape packing: gt (T, M, 12) + class/trajectory ids; points padded
+    to cfg.voxel.max_points
+
+Target rasterization happens ON DEVICE (data.targets) — the reference's
+900-line host-side AssignLabel bottleneck is gone from the worker path.
+"""
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..core.trajectory import TRAJECTORY_NAMES
+from .augment import apply_train_augmentations
+
+TRAJ_TO_ID = {name: i + 1 for i, name in enumerate(TRAJECTORY_NAMES)}
+
+
+def read_lidar_bin(path: str, num_features: int = 5) -> np.ndarray:
+    """nuScenes .bin: float32 x,y,z,intensity,ring (ref loading.py:31)."""
+    return np.fromfile(path, dtype=np.float32).reshape(-1, 5)[:, :num_features]
+
+
+def remove_close(points: np.ndarray, radius: float = 1.0) -> np.ndarray:
+    """ref loading.py:36-45 (points row-major here)."""
+    keep = ~((np.abs(points[:, 0]) < radius) & (np.abs(points[:, 1]) < radius))
+    return points[keep]
+
+
+def aggregate_sweeps(info: dict, nsweeps: int, num_features: int = 5,
+                     seed: int = 0) -> np.ndarray:
+    """Load the keyframe + (nsweeps-1) transformed sweeps with a time-lag
+    column (ref loading.py:112-140). Returns (P, num_features+1)."""
+    points = read_lidar_bin(str(info["lidar_path"]), num_features)
+    sweep_pts = [points]
+    sweep_times = [np.zeros((points.shape[0], 1), np.float32)]
+    rng = np.random.default_rng(seed)
+    n = len(info["sweeps"])
+    take = rng.choice(n, min(nsweeps - 1, n), replace=False)
+    for i in take:
+        sweep = info["sweeps"][i]
+        p = read_lidar_bin(str(sweep["lidar_path"]), num_features).T
+        p = remove_close(p.T, 1.0).T
+        tm = sweep.get("transform_matrix")
+        if tm is not None:
+            hom = np.vstack([p[:3], np.ones((1, p.shape[1]))])
+            p[:3] = (np.asarray(tm) @ hom)[:3]
+        sweep_pts.append(p.T)
+        sweep_times.append(np.full((p.shape[1], 1), sweep["time_lag"],
+                                   np.float32))
+    pts = np.concatenate(sweep_pts, 0)
+    times = np.concatenate(sweep_times, 0).astype(pts.dtype)
+    return np.hstack([pts, times])
+
+
+def pack_points(points: np.ndarray, max_points: int, rng=None):
+    """Pad/subsample to the fixed point budget."""
+    P = len(points)
+    out = np.zeros((max_points, points.shape[1]), np.float32)
+    valid = np.zeros((max_points,), bool)
+    if P > max_points:
+        sel = (rng or np.random.default_rng(0)).permutation(P)[:max_points]
+        points = points[sel]
+        P = max_points
+    out[:P] = points
+    valid[:P] = True
+    return out, valid
+
+
+def pack_gt(cfg: ExperimentConfig, gt_boxes, gt_names, gt_trajectory,
+            class_names: Sequence[str]):
+    """info gt arrays (N, T, 12)/(N, T) -> fixed (T, M, 12) + ids.
+
+    Applies the class filter and the BEV-range filter on t=0 boxes
+    (ref Voxelization :249-254)."""
+    T = cfg.timesteps
+    M = cfg.assigner.max_objs
+    out_boxes = np.zeros((T, M, 12), np.float32)
+    out_cls = np.zeros((T, M), np.int32)
+    out_valid = np.zeros((T, M), bool)
+    out_traj = np.zeros((M,), np.int32)
+
+    if len(gt_boxes) == 0:
+        return out_boxes, out_cls, out_valid, out_traj
+
+    gt_boxes = np.asarray(gt_boxes, np.float32)
+    if gt_boxes.ndim == 2:  # single-timestep infos
+        gt_boxes = gt_boxes[:, None, :]
+        gt_names = np.asarray(gt_names)[:, None]
+        gt_trajectory = np.asarray(gt_trajectory)[:, None]
+    gt_boxes = np.nan_to_num(gt_boxes)
+
+    names0 = np.asarray(gt_names)[:, 0]
+    keep = np.isin(names0, list(class_names))
+    pc = cfg.voxel.pc_range
+    b0 = gt_boxes[:, 0]
+    keep &= ((b0[:, 0] >= pc[0]) & (b0[:, 0] <= pc[3])
+             & (b0[:, 1] >= pc[1]) & (b0[:, 1] <= pc[4]))
+    idx = np.where(keep)[0][:M]
+    n = len(idx)
+    Ti = min(T, gt_boxes.shape[1])
+    for t in range(T):
+        ts = min(t, Ti - 1)
+        out_boxes[t, :n] = gt_boxes[idx, ts, :12]
+        out_cls[t, :n] = [list(class_names).index(nm) + 1
+                          for nm in names0[idx]]
+        out_valid[t, :n] = True
+    out_traj[:n] = [TRAJ_TO_ID.get(str(tr), 1)
+                    for tr in np.asarray(gt_trajectory)[idx, 0]]
+    return out_boxes, out_cls, out_valid, out_traj
+
+
+class NuScenesForecastDataset:
+    """Reads the reference's infos pkl format (create_nuscenes_infos output,
+    ref nusc_common.py:605-664) and yields fixed-shape samples."""
+
+    def __init__(self, cfg: ExperimentConfig, info_path: str,
+                 train: bool = True, class_balanced: bool = True,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.train = train
+        self.rng = np.random.default_rng(seed)
+        with open(info_path, "rb") as f:
+            infos = pickle.load(f)
+        if isinstance(infos, dict):
+            flat = []
+            for v in infos.values():
+                flat.extend(v)
+            infos = flat
+        if train and class_balanced:
+            infos = self._resample(infos)
+        self.infos = infos
+
+    def _resample(self, infos):
+        """CBGS-style class-balanced duplication (ref nuscenes.py:556-597)."""
+        cls_infos = {name: [] for name in self.cfg.data.class_names}
+        for info in infos:
+            names = info.get("gt_names")
+            if names is None or len(names) == 0:
+                continue
+            arr = np.asarray(names)
+            first = arr[:, 0] if arr.ndim > 1 else arr
+            for name in set(first.tolist()):
+                if name in cls_infos:
+                    cls_infos[name].append(info)
+        dup = sum(len(v) for v in cls_infos.values())
+        if dup == 0:
+            return infos
+        frac = 1.0 / len(cls_infos)
+        out = []
+        for name, ci in cls_infos.items():
+            ratio = frac / (len(ci) / dup) if ci else 0
+            sel = self.rng.choice(len(ci), int(len(ci) * ratio)) if ci else []
+            out += [ci[i] for i in sel]
+        return out or infos
+
+    def __len__(self):
+        return len(self.infos)
+
+    def sample(self, idx: int) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        info = self.infos[idx]
+        pts = aggregate_sweeps(info, cfg.data.nsweeps)
+        gt_boxes, gt_cls, gt_valid, gt_traj = pack_gt(
+            cfg, info.get("gt_boxes", []), info.get("gt_names", []),
+            info.get("gt_trajectory", []), cfg.data.class_names)
+        if self.train:
+            gtb = gt_boxes.copy()
+            gtb[~gt_valid] = 0
+            gtb, pts, _ = apply_train_augmentations(
+                gtb, pts, self.rng, rot_noise=cfg.data.global_rot_noise,
+                scale_noise=cfg.data.global_scale_noise,
+                translate_std=cfg.data.global_translate_std)
+            gt_boxes = gtb
+        if cfg.data.shuffle_points:
+            self.rng.shuffle(pts)
+        points, pvalid = pack_points(pts, cfg.voxel.max_points, self.rng)
+        return {"points": points, "points_valid": pvalid,
+                "gt_boxes": gt_boxes, "gt_classes": gt_cls,
+                "gt_valid": gt_valid, "traj_classes": gt_traj,
+                "token": info.get("token", str(idx))}
+
+
+def batches_from_dataset(ds, cfg: ExperimentConfig, batch_size: int,
+                         shuffle: bool = True, seed: int = 0,
+                         loop: bool = True) -> Iterator[dict]:
+    """Assemble device-ready batches; targets rasterized on device."""
+    import jax.numpy as jnp
+    from .targets import build_targets
+
+    rng = np.random.default_rng(seed)
+    while True:
+        order = rng.permutation(len(ds)) if shuffle else np.arange(len(ds))
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            samples = [ds.sample(int(j)) for j in order[i:i + batch_size]]
+            batch = {
+                "points": jnp.asarray(np.stack([s["points"] for s in samples])),
+                "points_valid": jnp.asarray(
+                    np.stack([s["points_valid"] for s in samples])),
+            }
+            tgts = [build_targets(cfg, s["gt_boxes"], s["gt_classes"],
+                                  s["gt_valid"], s["traj_classes"])
+                    for s in samples]
+            batch["targets"] = {k: jnp.stack([t[k] for t in tgts])
+                                for k in tgts[0]}
+            batch["tokens"] = [s["token"] for s in samples]
+            batch["gt"] = {
+                "boxes": np.stack([s["gt_boxes"] for s in samples]),
+                "valid": np.stack([s["gt_valid"] for s in samples]),
+                "traj": np.stack([s["traj_classes"] for s in samples]),
+            }
+            yield batch
+        if not loop:
+            return

@@ -1,0 +1,48 @@
+"""Trainer loop: logging, checkpointing, resume."""
+import itertools
+
+import numpy as np
+import jax
+
+from futuredet_tpu.train.trainer import train
+from futuredet_tpu.train.checkpoints import CheckpointManager
+from futuredet_tpu.train.step import init_state
+from futuredet_tpu.data.synthetic import make_batch
+from tests.test_models import tiny_cfg
+
+
+def test_trainer_runs_checkpoints_and_resumes(tmp_path):
+    cfg = tiny_cfg(1, False, False)
+    cfg = cfg.replace(train=cfg.train.__class__(
+        total_epochs=2, optim=cfg.train.optim, seed=0, log_interval=2,
+        checkpoint_interval_epochs=1))
+    batch = make_batch(cfg, 2, seed=0, n_objects=4, n_clutter=500, max_objs=16)
+    batch.pop("gt")
+
+    lines = []
+    state = train(cfg, itertools.repeat(batch), steps_per_epoch=3,
+                  work_dir=str(tmp_path / "ckpt"), n_devices=2,
+                  log_fn=lines.append)
+    assert int(state.step) == 6
+    assert any("checkpoint @ step 3" in l for l in lines)
+    assert any("checkpoint @ step 6" in l for l in lines)
+    assert any("loss" in l for l in lines)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    assert mgr.latest_step() == 6
+    like = init_state(cfg, jax.random.PRNGKey(0),
+                      jax.tree.map(lambda x: x[:1], batch), total_steps=6)
+    restored = mgr.restore(jax.device_get(like))
+    assert int(restored.step) == 6
+    # params actually round-trip
+    a = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, rtol=1e-6)
+
+    # resume continues from the latest step (no-op since schedule finished,
+    # but the restore path must execute)
+    state2 = train(cfg, itertools.repeat(batch), steps_per_epoch=3,
+                   work_dir=str(tmp_path / "ckpt"), n_devices=2, resume=True,
+                   log_fn=lines.append)
+    assert int(state2.step) == 6
