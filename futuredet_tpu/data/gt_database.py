@@ -1,0 +1,179 @@
+"""GT-AUG: ground-truth database creation + trajectory-conditioned sampling.
+
+Behavioral ports:
+  * create_groundtruth_database — ref
+    `det3d/datasets/utils/create_gt_database.py:17-175`: crop each t=0 GT
+    box's points (relative to box center) into a per-object .bin; dbinfos
+    entries keyed by class name carry per-timestep boxes + trajectory labels.
+  * DataBaseSampler — ref `det3d/core/sampler/sample_ops.py:13-253` +
+    `BatchSampler` (`core/sampler/preprocess.py:19-55`): sample objects per
+    `{trajectory}_{class}` group (e.g. static_car=2, linear_car=4,
+    nonlinear_car=6, ref configs n3dtf:116-123), reject collisions against
+    scene boxes and each other, paste cropped points at the stored box pose.
+    Pasted boxes keep their t=0 position across all timesteps with
+    per-timestep velocity/rotation columns (the reference's
+    `sampled_gt_boxes[j][-6:] = gt_forecast[j][i]` semantics,
+    preprocess.py:169-174).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..ops.nms import iou_bev_np
+
+
+def _points_in_box_np(points, box):
+    d = points[:, :3] - box[:3]
+    # stored yaw is -yaw-pi/2; physical heading = -(stored)-pi/2
+    yaw = -box[10] - np.pi / 2
+    c, s = np.cos(yaw), np.sin(yaw)
+    lx = c * d[:, 0] + s * d[:, 1]
+    ly = -s * d[:, 0] + c * d[:, 1]
+    return ((np.abs(ly) <= box[4] / 2) & (np.abs(lx) <= box[3] / 2)
+            & (np.abs(d[:, 2]) <= box[5] / 2))
+
+
+def create_groundtruth_database(cfg: ExperimentConfig, dataset, out_dir: str,
+                                point_features: int = 5) -> str:
+    """dataset: NuScenesForecastDataset-like with .infos and .sample(idx)
+    yielding unaugmented points + gt arrays. Writes gt .bins + dbinfos pkl."""
+    db_path = Path(out_dir) / f"gt_database_{cfg.data.nsweeps}sweeps_withvelo"
+    db_path.mkdir(parents=True, exist_ok=True)
+    dbinfo_path = (Path(out_dir)
+                   / f"dbinfos_train_{cfg.data.nsweeps}sweeps_withvelo.pkl")
+
+    all_db_infos: Dict[str, list] = {}
+    class_names = list(cfg.data.class_names)
+    for idx in range(len(dataset)):
+        s = dataset.sample(idx)
+        pts = s["points"][s["points_valid"]]
+        boxes = s["gt_boxes"]          # (T, M, 12)
+        valid = s["gt_valid"][0]
+        for i in np.where(valid)[0]:
+            name = class_names[int(s["gt_classes"][0, i]) - 1]
+            traj = ["static", "linear", "nonlinear"][
+                int(s["traj_classes"][i]) - 1]
+            box0 = boxes[0, i]
+            inside = _points_in_box_np(pts, box0)
+            gt_points = pts[inside].copy()
+            gt_points[:, :3] -= box0[:3]
+            fname = f"{idx}_{name}_{i}.bin"
+            d = db_path / name
+            d.mkdir(exist_ok=True)
+            gt_points[:, :point_features].astype(np.float32).tofile(
+                str(d / fname))
+            info = {
+                "name": [name] * boxes.shape[0],
+                "trajectory": [traj] * boxes.shape[0],
+                "path": os.path.join(db_path.name, name, fname),
+                "gt_idx": int(i),
+                "box3d_lidar": [boxes[t, i].copy()
+                                for t in range(boxes.shape[0])],
+                "num_points_in_gt": int(inside.sum()),
+            }
+            all_db_infos.setdefault(name, []).append(info)
+
+    with open(dbinfo_path, "wb") as f:
+        pickle.dump(all_db_infos, f)
+    return str(dbinfo_path)
+
+
+class _Pool:
+    """Epoch-shuffled sampling pool (ref BatchSampler, preprocess.py:19-55)."""
+
+    def __init__(self, items, rng):
+        self.items = items
+        self.rng = rng
+        self._reset()
+
+    def _reset(self):
+        self.order = self.rng.permutation(len(self.items))
+        self.pos = 0
+
+    def sample(self, n):
+        if self.pos + n > len(self.items):
+            self._reset()
+        take = self.order[self.pos:self.pos + n]
+        self.pos += n
+        return [self.items[i] for i in take]
+
+
+class DataBaseSampler:
+    """ref DataBaseSamplerV2.sample_all (sample_ops.py:101-253)."""
+
+    def __init__(self, db_info_path: str, root_path: str,
+                 sample_groups: Dict[str, int],
+                 min_points: int = 5, sampler_type: str = "trajectory",
+                 point_features: int = 5, seed: int = 0):
+        self.root = root_path
+        self.rng = np.random.default_rng(seed)
+        self.point_features = point_features
+        with open(db_info_path, "rb") as f:
+            db = pickle.load(f)
+        # filter by min points (ref db_prep_steps filter_by_min_num_points)
+        db = {k: [x for x in v if x["num_points_in_gt"] >= min_points]
+              for k, v in db.items()}
+        # regroup by trajectory_class when trajectory-conditioned
+        pools: Dict[str, list] = {}
+        for name, items in db.items():
+            for it in items:
+                key = (f"{it['trajectory'][0]}_{name}"
+                       if sampler_type != "standard" else name)
+                pools.setdefault(key, []).append(it)
+        self.pools = {k: _Pool(v, self.rng) for k, v in pools.items() if v}
+        self.sample_groups = sample_groups
+
+    def sample_all(self, gt_boxes_t0: np.ndarray):
+        """gt_boxes_t0 (N, 12) existing scene boxes. Returns dict with
+        sampled boxes (S, T, 12), names, trajectories, points (P, F)."""
+        picked = []
+        for key, n in self.sample_groups.items():
+            if key in self.pools and n > 0:
+                picked += self.pools[key].sample(n)
+        if not picked:
+            return None
+
+        exist = [b for b in gt_boxes_t0]
+        kept = []
+        for it in picked:
+            b = it["box3d_lidar"][0]
+            cand = np.array([b[0], b[1], b[3], b[4], -b[10] - np.pi / 2])
+            collide = False
+            for e in exist:
+                other = np.array([e[0], e[1], e[3], e[4], -e[10] - np.pi / 2])
+                if iou_bev_np(cand, other) > 0.0:
+                    collide = True
+                    break
+            if not collide:
+                kept.append(it)
+                exist.append(b)
+        if not kept:
+            return None
+
+        T = len(kept[0]["box3d_lidar"])
+        boxes = np.zeros((len(kept), T, 12), np.float32)
+        pts_list = []
+        names, trajs = [], []
+        for j, it in enumerate(kept):
+            b0 = np.asarray(it["box3d_lidar"][0], np.float32)
+            for t in range(T):
+                bt = np.asarray(it["box3d_lidar"][min(t, T - 1)], np.float32)
+                # position frozen at t0, last-6 per timestep (ref quirk)
+                boxes[j, t, :6] = b0[:6]
+                boxes[j, t, 6:] = bt[6:]
+            p = np.fromfile(os.path.join(self.root, it["path"]),
+                            np.float32).reshape(-1, self.point_features)
+            p = np.hstack([p, np.zeros((len(p), 1), np.float32)])  # time lag
+            p[:, :3] += b0[:3]
+            pts_list.append(p)
+            names.append(it["name"][0])
+            trajs.append(it["trajectory"][0])
+        return {"gt_boxes": boxes, "gt_names": np.array(names),
+                "gt_trajectory": np.array(trajs),
+                "points": np.concatenate(pts_list, 0)}

@@ -128,9 +128,10 @@ class NuScenesForecastDataset:
 
     def __init__(self, cfg: ExperimentConfig, info_path: str,
                  train: bool = True, class_balanced: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, db_sampler=None):
         self.cfg = cfg
         self.train = train
+        self.db_sampler = db_sampler  # GT-AUG (data.gt_database.DataBaseSampler)
         self.rng = np.random.default_rng(seed)
         with open(info_path, "rb") as f:
             infos = pickle.load(f)
@@ -176,6 +177,24 @@ class NuScenesForecastDataset:
         gt_boxes, gt_cls, gt_valid, gt_traj = pack_gt(
             cfg, info.get("gt_boxes", []), info.get("gt_names", []),
             info.get("gt_trajectory", []), cfg.data.class_names)
+        if self.train and self.db_sampler is not None:
+            # GT-AUG paste (ref Preprocess :147-182)
+            n0 = int(gt_valid[0].sum())
+            sampled = self.db_sampler.sample_all(gt_boxes[0, :n0])
+            if sampled is not None:
+                S = len(sampled["gt_names"])
+                M = gt_boxes.shape[1]
+                room = min(S, M - n0)
+                cls_list = list(cfg.data.class_names)
+                for j in range(room):
+                    gt_boxes[:, n0 + j] = sampled["gt_boxes"][j]
+                    gt_cls[:, n0 + j] = cls_list.index(
+                        sampled["gt_names"][j]) + 1
+                    gt_valid[:, n0 + j] = True
+                    gt_traj[n0 + j] = TRAJ_TO_ID.get(
+                        str(sampled["gt_trajectory"][j]), 1)
+                pts = np.concatenate(
+                    [sampled["points"][:, :pts.shape[1]], pts], 0)
         if self.train:
             gtb = gt_boxes.copy()
             gtb[~gt_valid] = 0

@@ -1,0 +1,183 @@
+"""Offline data prep on a fabricated mini nuScenes: raw tables -> infos ->
+dataset -> gt database -> GT-AUG sampler."""
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from futuredet_tpu.data.infos import create_nuscenes_infos, fill_infos
+from futuredet_tpu.data.nuscenes_tables import NuScenesTables
+from tests.test_models import tiny_cfg
+
+N_SAMPLES = 8
+DT_US = 500000
+
+
+def _mk_mini_nusc(root, n_samples=N_SAMPLES):
+    version = "v1.0-mini"
+    os.makedirs(root / version, exist_ok=True)
+    os.makedirs(root / "sweeps" / "LIDAR_TOP", exist_ok=True)
+    rng = np.random.default_rng(0)
+
+    scene = [{"token": "scene0", "first_sample_token": "s0",
+              "name": "scene-0001"}]
+    samples, sample_datas, poses, anns = [], [], [], []
+    cs = [{"token": "cs0", "translation": [0.0, 0.0, 1.8],
+           "rotation": [1.0, 0.0, 0.0, 0.0], "sensor_token": "lidar"}]
+    category = [{"token": "cat_car", "name": "vehicle.car"}]
+    instance = [
+        {"token": "inst0", "category_token": "cat_car"},
+        {"token": "inst1", "category_token": "cat_car"},
+    ]
+    # object 0: static at (5, 3); object 1: moving +x at 4 m/s from (-5, -2)
+    obj_pos = lambda k, i: ([5.0, 3.0, 0.5] if k == 0
+                            else [-5.0 + 4.0 * 0.5 * i, -2.0, 0.5])
+    for i in range(n_samples):
+        stok, sdtok, ptok = f"s{i}", f"sd{i}", f"pose{i}"
+        samples.append({
+            "token": stok, "scene_token": "scene0",
+            "timestamp": 1000000 + i * DT_US,
+            "prev": f"s{i-1}" if i > 0 else "",
+            "next": f"s{i+1}" if i < n_samples - 1 else "",
+            "data": {"LIDAR_TOP": sdtok},
+            "anns": [f"a{i}_0", f"a{i}_1"],
+        })
+        fname = f"sweeps/LIDAR_TOP/pc{i}.bin"
+        pts = np.concatenate([rng.uniform(-20, 20, (1000, 3)),
+                              rng.uniform(0, 1, (1000, 2))], -1)
+        # add points on both objects (in lidar frame approx == global here
+        # minus ego translation)
+        for k in range(2):
+            c = np.asarray(obj_pos(k, i))
+            obj_pts = c + rng.uniform(-1, 1, (200, 3)) * [1.0, 2.0, 0.7]
+            obj_pts[:, 2] -= 1.8  # bins are in the lidar frame (sensor @ 1.8)
+            pts = np.concatenate(
+                [pts, np.hstack([obj_pts, rng.uniform(0, 1, (200, 2))])], 0)
+        pts.astype(np.float32).tofile(root / fname)
+        sample_datas.append({
+            "token": sdtok, "sample_token": stok, "ego_pose_token": ptok,
+            "calibrated_sensor_token": "cs0",
+            "timestamp": 1000000 + i * DT_US,
+            "prev": f"sd{i-1}" if i > 0 else "",
+            "next": f"sd{i+1}" if i < n_samples - 1 else "",
+            "filename": fname, "is_key_frame": True,
+        })
+        poses.append({"token": ptok, "translation": [0.0, 0.0, 0.0],
+                      "rotation": [1.0, 0.0, 0.0, 0.0],
+                      "timestamp": 1000000 + i * DT_US})
+        for k in range(2):
+            anns.append({
+                "token": f"a{i}_{k}", "sample_token": stok,
+                "instance_token": f"inst{k}",
+                "translation": obj_pos(k, i), "size": [2.0, 4.5, 1.6],
+                "rotation": [1.0, 0.0, 0.0, 0.0],
+                "prev": f"a{i-1}_{k}" if i > 0 else "",
+                "next": f"a{i+1}_{k}" if i < n_samples - 1 else "",
+                "num_lidar_pts": 50, "num_radar_pts": 0,
+            })
+    tables = {"scene": scene, "sample": samples, "sample_data": sample_datas,
+              "ego_pose": poses, "calibrated_sensor": cs,
+              "sample_annotation": anns, "category": category,
+              "instance": instance}
+    for name, t in tables.items():
+        with open(root / version / f"{name}.json", "w") as f:
+            json.dump(t, f)
+    return version
+
+
+def test_fill_infos_builds_forecast_gt(tmp_path):
+    version = _mk_mini_nusc(tmp_path)
+    nusc = NuScenesTables(str(tmp_path), version)
+    infos = fill_infos(nusc, nsweeps=3, timesteps=7)
+    assert len(infos) == N_SAMPLES
+    info = infos[0]
+    assert len(info["sweeps"]) == 2
+    assert info["gt_boxes"].shape == (2, 7, 12)
+    assert (info["gt_names"] == "car").all()
+    # static object classified static, mover classified linear
+    assert info["gt_trajectory"][0, 0] == "static"
+    assert info["gt_trajectory"][1, 0] == "linear"
+    # forecast positions of the mover advance ~2 m per keyframe (lidar z
+    # offset by the sensor height 1.8)
+    mover = info["gt_boxes"][1]
+    np.testing.assert_allclose(np.diff(mover[:, 0]), 2.0, atol=1e-5)
+    np.testing.assert_allclose(mover[0, 6], 4.0, atol=1e-5)   # vx
+    np.testing.assert_allclose(mover[0, 2], 0.5 - 1.8, atol=1e-5)
+    # stored yaw convention
+    np.testing.assert_allclose(mover[0, 10], -0.0 - np.pi / 2, atol=1e-6)
+
+
+def test_create_data_then_dataset_then_gtaug(tmp_path):
+    version = _mk_mini_nusc(tmp_path)
+    paths = create_nuscenes_infos(str(tmp_path), version, nsweeps=3,
+                                  timesteps=7)
+    assert os.path.exists(paths[0])
+
+    cfg = tiny_cfg(7, True, True)
+    cfg = cfg.replace(voxel=cfg.voxel.__class__(
+        pc_range=(-25.0, -25.0, -5.0, 25.0, 25.0, 3.0),
+        voxel_size=(0.5, 0.5, 6.0), max_points_per_voxel=8,
+        max_voxels_train=2048, max_voxels_eval=2048, max_points=8192),
+        data=cfg.data.__class__(nsweeps=3, class_names=("car",)))
+
+    from futuredet_tpu.data.pipeline import NuScenesForecastDataset
+    ds = NuScenesForecastDataset(cfg, paths[0], train=False,
+                                 class_balanced=False)
+    s = ds.sample(0)
+    assert s["gt_valid"][0].sum() == 2
+    assert s["points_valid"].sum() > 1000
+
+    from futuredet_tpu.data.gt_database import (DataBaseSampler,
+                                                create_groundtruth_database)
+    db_path = create_groundtruth_database(cfg, ds, str(tmp_path))
+    with open(db_path, "rb") as f:
+        db = pickle.load(f)
+    assert "car" in db and len(db["car"]) == 2 * N_SAMPLES
+    assert db["car"][0]["num_points_in_gt"] > 0
+
+    sampler = DataBaseSampler(db_path, str(tmp_path),
+                              {"static_car": 2, "linear_car": 2},
+                              min_points=5, sampler_type="trajectory")
+    # empty scene -> everything pastes
+    out = sampler.sample_all(np.zeros((0, 12), np.float32))
+    assert out is not None
+    assert out["gt_boxes"].shape[1] == 7
+    assert len(out["points"]) > 0
+    assert set(out["gt_trajectory"]) <= {"static", "linear"}
+
+    # scene already containing one of the boxes -> collision rejects overlaps
+    out2 = sampler.sample_all(out["gt_boxes"][:, 0])
+    if out2 is not None:
+        for b in out2["gt_boxes"][:, 0]:
+            for e in out["gt_boxes"][:, 0]:
+                d = np.linalg.norm(b[:2] - e[:2])
+                assert d > 1.0, "pasted box overlaps existing"
+
+
+def test_dataset_with_gtaug_sampler(tmp_path):
+    version = _mk_mini_nusc(tmp_path)
+    paths = create_nuscenes_infos(str(tmp_path), version, nsweeps=3,
+                                  timesteps=7)
+    cfg = tiny_cfg(7, True, True)
+    cfg = cfg.replace(voxel=cfg.voxel.__class__(
+        pc_range=(-25.0, -25.0, -5.0, 25.0, 25.0, 3.0),
+        voxel_size=(0.5, 0.5, 6.0), max_points_per_voxel=8,
+        max_voxels_train=2048, max_voxels_eval=2048, max_points=8192),
+        data=cfg.data.__class__(nsweeps=3, class_names=("car",)))
+
+    from futuredet_tpu.data.gt_database import (DataBaseSampler,
+                                                create_groundtruth_database)
+    from futuredet_tpu.data.pipeline import NuScenesForecastDataset
+    base = NuScenesForecastDataset(cfg, paths[0], train=False,
+                                   class_balanced=False)
+    db_path = create_groundtruth_database(cfg, base, str(tmp_path))
+    sampler = DataBaseSampler(db_path, str(tmp_path),
+                              {"static_car": 2, "linear_car": 2},
+                              min_points=5, sampler_type="trajectory")
+    ds = NuScenesForecastDataset(cfg, paths[0], train=True,
+                                 class_balanced=False, db_sampler=sampler)
+    s = ds.sample(0)
+    # pasted objects on top of the scene's 2 real cars
+    assert s["gt_valid"][0].sum() > 2
