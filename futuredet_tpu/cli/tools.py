@@ -1,0 +1,158 @@
+"""Experiment tools — ports of the reference repo-root scripts.
+
+  trajectory  — dump train-set trajectory prototypes per class
+                (ref `/root/reference/trajectory.py:43-65`; consumed by the
+                --postprocess snap-to-prototype path, nuscenes.py:341-382)
+  statistics  — count static/linear/nonlinear GT trajectories
+                (ref `/root/reference/statistics.py`)
+  compare     — diff two checkpoints' parameters (ref `compare.py:5-19`)
+  visualize   — render GT vs predicted forecasts to a BEV png per sample
+                (ref `/root/reference/visualize.py`, matplotlib-lite)
+
+  python -m futuredet_tpu.cli.tools trajectory --info_path infos.pkl
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import pickle
+
+import numpy as np
+
+
+def cmd_trajectory(args):
+    """Per-class trajectory prototypes: (velocity, rotation) + future offsets
+    relative to the start box (ref trajectory.py:43-65 layout)."""
+    with open(args.info_path, "rb") as f:
+        infos = pickle.load(f)
+    protos = []
+    for info in infos:
+        boxes = np.asarray(info.get("gt_boxes", np.zeros((0, 1, 12))))
+        names = np.asarray(info.get("gt_names", []))
+        if boxes.ndim != 3 or len(boxes) == 0:
+            continue
+        first = names[:, 0] if names.ndim > 1 else names
+        for i in np.where(first == args.classname)[0]:
+            tr = boxes[i]
+            vel = tr[0, 6:8]
+            yaw = -tr[0, 10] - np.pi / 2
+            rot = [np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)]
+            offsets = [tr[t, :3] - tr[0, :3] for t in range(1, tr.shape[0])]
+            protos.append([(vel, rot)] + offsets)
+    out = args.out or f"{args.classname}_trajectory.pkl"
+    with open(out, "wb") as f:
+        pickle.dump(protos, f)
+    logging.info("wrote %d %s trajectory prototypes to %s",
+                 len(protos), args.classname, out)
+    return protos
+
+
+def cmd_statistics(args):
+    """ref statistics.py: cohort counts over the info set."""
+    with open(args.info_path, "rb") as f:
+        infos = pickle.load(f)
+    counts = {"static": 0, "linear": 0, "nonlinear": 0}
+    for info in infos:
+        traj = np.asarray(info.get("gt_trajectory", []))
+        if traj.size == 0:
+            continue
+        first = traj[:, 0] if traj.ndim > 1 else traj
+        for t in first:
+            if str(t) in counts:
+                counts[str(t)] += 1
+    total = max(sum(counts.values()), 1)
+    for k, v in counts.items():
+        logging.info("%s: %d (%.1f%%)", k, v, 100.0 * v / total)
+    return counts
+
+
+def cmd_compare(args):
+    """ref compare.py: which parameters differ between two checkpoints."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    def load(d):
+        mgr = ocp.CheckpointManager(d)
+        step = mgr.latest_step()
+        return mgr.restore(step)["state"]["params"], step
+
+    a, sa = load(args.checkpoint_a)
+    b, sb = load(args.checkpoint_b)
+    logging.info("comparing step %s vs step %s", sa, sb)
+    fa = jax.tree_util.tree_leaves_with_path(a)
+    fb = {tuple(str(p) for p in path): leaf
+          for path, leaf in jax.tree_util.tree_leaves_with_path(b)}
+    changed, same = [], []
+    for path, leaf in fa:
+        key = tuple(str(p) for p in path)
+        other = fb.get(key)
+        name = "/".join(key)
+        if other is None or leaf.shape != other.shape:
+            changed.append(name)
+        elif np.allclose(leaf, other):
+            same.append(name)
+        else:
+            changed.append(name)
+    logging.info("%d changed, %d identical", len(changed), len(same))
+    for n in changed[:50]:
+        logging.info("changed: %s", n)
+    return changed, same
+
+
+def cmd_visualize(args):
+    """BEV png per sample: GT tracklets (green) vs predicted trajectories
+    (red), matplotlib."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with open(args.predictions, "rb") as f:
+        data = pickle.load(f)
+    n = 0
+    for token, sample in list(data.items())[:args.max_samples]:
+        fig, ax = plt.subplots(figsize=(8, 8))
+        for tr in sample.get("gt", []):
+            tr = np.asarray(tr)
+            ax.plot(tr[:, 0], tr[:, 1], "g.-", lw=1)
+        for tr in sample.get("pred", []):
+            tr = np.asarray(tr)
+            ax.plot(tr[:, 0], tr[:, 1], "r.-", lw=1, alpha=0.6)
+        ax.set_xlim(-55, 55)
+        ax.set_ylim(-55, 55)
+        ax.set_title(token)
+        out = f"{args.out_dir}/{token}.png"
+        fig.savefig(out, dpi=100)
+        plt.close(fig)
+        n += 1
+    logging.info("wrote %d visualizations to %s", n, args.out_dir)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="FutureDet-TPU tools")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("trajectory")
+    t.add_argument("--info_path", required=True)
+    t.add_argument("--classname", default="car")
+    t.add_argument("--out", default=None)
+
+    s = sub.add_parser("statistics")
+    s.add_argument("--info_path", required=True)
+
+    c = sub.add_parser("compare")
+    c.add_argument("checkpoint_a")
+    c.add_argument("checkpoint_b")
+
+    v = sub.add_parser("visualize")
+    v.add_argument("--predictions", required=True)
+    v.add_argument("--out_dir", default=".")
+    v.add_argument("--max_samples", type=int, default=20)
+
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, force=True)
+    return {"trajectory": cmd_trajectory, "statistics": cmd_statistics,
+            "compare": cmd_compare, "visualize": cmd_visualize}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Long-tail components: deformable conv, two-stage refiner, double-flip TTA,
+head modes (sparse/classify/wide), TWO_STAGE freeze mask."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tests.test_models import rand_points, tiny_cfg
+
+
+def test_deform_conv_zero_offsets_equals_standard_conv():
+    from futuredet_tpu.ops.deform import deform_conv2d
+    rng = np.random.default_rng(0)
+    B, H, W, C = 1, 8, 8, 8
+    x = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    wts = rng.normal(size=(9, C, 4)).astype(np.float32) * 0.1
+    offs = np.zeros((B, H, W, 4 * 2 * 9), np.float32)
+    got = np.asarray(deform_conv2d(jnp.asarray(x), jnp.asarray(offs),
+                                   jnp.asarray(wts)))
+    # standard 3x3 conv oracle (zero pad)
+    ref = np.zeros((B, H, W, 4), np.float32)
+    k = 0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            shifted = np.zeros_like(x)
+            ys = slice(max(dy, 0), H + min(dy, 0))
+            yd = slice(max(-dy, 0), H + min(-dy, 0))
+            xs = slice(max(dx, 0), W + min(dx, 0))
+            xd = slice(max(-dx, 0), W + min(-dx, 0))
+            shifted[:, yd, xd] = x[:, ys, xs]
+            ref += shifted @ wts[k]
+            k += 1
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_deform_conv_fractional_offset_interpolates():
+    from futuredet_tpu.ops.deform import deform_conv2d
+    B, H, W, C = 1, 6, 6, 4
+    x = np.zeros((B, H, W, C), np.float32)
+    x[0, 2, 2] = 1.0
+    x[0, 2, 3] = 3.0
+    # identity kernel on center tap only
+    wts = np.zeros((9, C, C), np.float32)
+    wts[4] = np.eye(C)
+    offs = np.zeros((B, H, W, 4 * 2 * 9), np.float32)
+    # shift the center tap by +0.5 in x for all groups
+    offs[..., 1::2] = 0.5
+    out = np.asarray(deform_conv2d(jnp.asarray(x), jnp.asarray(offs),
+                                   jnp.asarray(wts)))
+    np.testing.assert_allclose(out[0, 2, 2], 2.0, atol=1e-5)  # (1+3)/2
+
+
+def test_two_stage_refiner_and_freeze_mask():
+    from futuredet_tpu.models.two_stage import (TwoStageRefiner,
+                                                two_stage_trainable_mask)
+    from futuredet_tpu.models.detector import build_detector
+
+    cfg = tiny_cfg(1, False, False)
+    ref = TwoStageRefiner(cfg=cfg)
+    B, N = 2, 8
+    bev = jnp.asarray(np.random.default_rng(0).normal(
+        size=(B, 16, 16, 32)).astype(np.float32))
+    boxes = jnp.zeros((B, N, 9)).at[..., 3:6].set(2.0)
+    params = ref.init(jax.random.PRNGKey(0), bev, boxes)
+    out_boxes, scores = ref.apply(params, bev, boxes)
+    assert out_boxes.shape == (B, N, 9)
+    assert scores.shape == (B, N)
+    assert np.all((np.asarray(scores) >= 0) & (np.asarray(scores) <= 1))
+
+    model = build_detector(cfg)
+    pts, valid = rand_points()
+    variables = model.init(jax.random.PRNGKey(0), pts, valid)
+    mask = two_stage_trainable_mask(variables["params"])
+    flat = jax.tree_util.tree_leaves_with_path(mask)
+    trainable = [("/".join(str(p) for p in path)) for path, v in flat if v]
+    frozen = [("/".join(str(p) for p in path)) for path, v in flat if not v]
+    assert any("vel" in t for t in trainable)
+    assert any("rot" in t for t in trainable)
+    assert all("hm" not in t for t in trainable)
+    assert len(frozen) > len(trainable)
+
+
+def test_double_flip_tta_consistent_detections():
+    from futuredet_tpu.eval.tta import infer_double_flip
+    from futuredet_tpu.models.detector import build_detector
+    from futuredet_tpu.data.synthetic import make_batch
+
+    cfg = tiny_cfg(1, False, False)
+    batch = make_batch(cfg, 1, seed=0, n_objects=4, n_clutter=500, max_objs=16)
+    model = build_detector(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch["points"],
+                           batch["points_valid"])
+
+    def forward(p, v):
+        return model.apply(variables, p, v, train=False)
+
+    det = infer_double_flip(cfg, forward, batch["points"],
+                            batch["points_valid"])
+    T, post = 7, cfg.test.nms.post_max_size
+    assert det.boxes.shape == (1, 4 * T * post, 9)
+    # all four flip branches decode into the same world frame: every valid
+    # box center must lie inside the pc range
+    b = np.asarray(det.boxes[0])[np.asarray(det.valid[0])]
+    if len(b):
+        assert np.all(np.abs(b[:, :2]) <= 10.0 + 1e-3)
+
+
+def test_sparse_classify_wide_modes_forward_and_loss():
+    import dataclasses
+    from futuredet_tpu.models.detector import build_detector
+    from futuredet_tpu.models.losses import center_head_loss
+    from tests.test_models import rand_targets
+
+    for mode in ("sparse", "classify", "wide_head", "reverse"):
+        cfg = tiny_cfg(7, False, False)
+        head = dataclasses.replace(cfg.model.head, **{mode: True},
+                                   timesteps=7)
+        if mode == "wide_head":
+            head = dataclasses.replace(head, share_conv_channel=32)
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, head=head))
+        model = build_detector(cfg)
+        pts, valid = rand_points(B=1)
+        variables = model.init(jax.random.PRNGKey(0), pts, valid)
+        preds = model.apply(variables, pts, valid)
+        assert len(preds) == len(cfg.model.head.num_classes), mode
+
+        tg = rand_targets(cfg, B=1)
+        W, H = cfg.feature_map_size
+        M = cfg.assigner.max_objs
+        extra = {}
+        for fam, C in (("trajectory", 3), ("forecast", 7)):
+            extra.update({
+                f"hm_{fam}": jnp.zeros((1, 7, H, W, C)),
+                f"ind_{fam}": jnp.zeros((1, 7, M), jnp.int32),
+                f"mask_{fam}": jnp.zeros((1, 7, M), bool),
+                f"cat_{fam}": jnp.zeros((1, 7, M), jnp.int32),
+                f"anno_box_{fam}": jnp.zeros((1, 7, M, 14)),
+            })
+        losses = center_head_loss(cfg.model.head, preds, {**tg, **extra})
+        assert np.isfinite(float(losses["loss"])), mode

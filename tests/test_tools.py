@@ -1,0 +1,72 @@
+"""CLI tools: trajectory prototypes, statistics, compare, waymo reader."""
+import pickle
+
+import numpy as np
+
+from futuredet_tpu.cli import tools as T
+
+
+def _infos(tmp_path, n=4, T_=7):
+    rng = np.random.default_rng(0)
+    infos = []
+    for i in range(n):
+        boxes = np.zeros((3, T_, 12), np.float32)
+        boxes[:, :, 0] = rng.uniform(-10, 10, (3, 1))
+        boxes[1, :, 0] += np.arange(T_) * 2  # mover
+        boxes[:, :, 3:6] = [2, 4.5, 1.6]
+        boxes[1, :, 6] = 4.0
+        infos.append({
+            "gt_boxes": boxes,
+            "gt_names": np.full((3, T_), "car"),
+            "gt_trajectory": np.array([["static"] * T_, ["linear"] * T_,
+                                       ["nonlinear"] * T_]),
+        })
+    p = tmp_path / "infos.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(infos, f)
+    return str(p)
+
+
+def test_trajectory_prototypes(tmp_path):
+    path = _infos(tmp_path)
+    out = str(tmp_path / "car_trajectory.pkl")
+    protos = T.main(["trajectory", "--info_path", path, "--out", out])
+    assert len(protos) == 12  # 3 objects x 4 samples
+    vel, rot = protos[0][0]
+    assert len(rot) == 4 and len(vel) == 2
+    assert len(protos[0]) == 7  # (vel,rot) + 6 future offsets
+
+
+def test_statistics(tmp_path):
+    path = _infos(tmp_path)
+    counts = T.main(["statistics", "--info_path", path])
+    assert counts == {"static": 4, "linear": 4, "nonlinear": 4}
+
+
+def test_waymo_reader(tmp_path):
+    from futuredet_tpu.data.waymo import WaymoDataset
+    from tests.test_models import tiny_cfg
+
+    rng = np.random.default_rng(0)
+    frame = {"lidars": {
+        "points_xyz": rng.uniform(-7, 7, (300, 3)).astype(np.float32),
+        "points_feature": rng.uniform(0, 5, (300, 2)).astype(np.float32)}}
+    fp = tmp_path / "frame0.pkl"
+    with open(fp, "wb") as f:
+        pickle.dump(frame, f)
+    boxes = np.zeros((2, 12), np.float32)
+    boxes[:, 3:6] = [2, 4, 1.6]
+    infos = [{"path": str(fp), "token": "w0", "gt_boxes": boxes,
+              "gt_names": np.array(["car", "car"])}]
+    ip = tmp_path / "winfos.pkl"
+    with open(ip, "wb") as f:
+        pickle.dump(infos, f)
+
+    cfg = tiny_cfg(1, False, False)
+    ds = WaymoDataset(cfg, str(ip))
+    s = ds.sample(0)
+    assert s["points"].shape[1] == 6
+    assert s["gt_valid"][0].sum() == 2
+    # intensity tanh-normalized into [-1, 1]
+    pv = s["points"][s["points_valid"]]
+    assert np.all(np.abs(pv[:, 3]) <= 1.0)
