@@ -40,9 +40,32 @@ def remove_close(points: np.ndarray, radius: float = 1.0) -> np.ndarray:
 
 
 def aggregate_sweeps(info: dict, nsweeps: int, num_features: int = 5,
-                     seed: int = 0) -> np.ndarray:
+                     seed: int = 0, use_native: bool = True) -> np.ndarray:
     """Load the keyframe + (nsweeps-1) transformed sweeps with a time-lag
-    column (ref loading.py:112-140). Returns (P, num_features+1)."""
+    column (ref loading.py:112-140). Returns (P, num_features+1).
+
+    Uses the threaded C++ loader (utils.native) when available; numpy
+    fallback otherwise (identical output, order differs only by the
+    per-sweep concat which is preserved)."""
+    if use_native:
+        from ..utils import native
+        if native.available():
+            rng = np.random.default_rng(seed)
+            n = len(info["sweeps"])
+            take = rng.choice(n, min(nsweeps - 1, n), replace=False)
+            paths = [str(info["lidar_path"])]
+            tms = [None]
+            lags = [0.0]
+            for i in take:
+                sw = info["sweeps"][i]
+                paths.append(str(sw["lidar_path"]))
+                tms.append(sw.get("transform_matrix"))
+                lags.append(float(sw["time_lag"]))
+            out = native.load_sweeps_native(
+                paths, tms, lags, max_points=4 * 1000 * 1000,
+                file_feats=5, keep_feats=num_features)
+            if out is not None:
+                return out
     points = read_lidar_bin(str(info["lidar_path"]), num_features)
     sweep_pts = [points]
     sweep_times = [np.zeros((points.shape[0], 1), np.float32)]

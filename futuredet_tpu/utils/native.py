@@ -1,0 +1,109 @@
+"""ctypes bindings for the native host library (csrc/futuredet_host.cpp).
+
+Auto-builds with g++ on first use (no pybind11 in this environment); every
+entry point has a numpy fallback so the framework runs without a compiler.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from functools import lru_cache
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+
+
+@lru_cache(maxsize=1)
+def _lib() -> Optional[ctypes.CDLL]:
+    so = os.path.abspath(os.path.join(_CSRC, "build", "libfuturedet_host.so"))
+    if not os.path.exists(so):
+        try:
+            subprocess.run(["make", "-C", os.path.abspath(_CSRC)],
+                           check=True, capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.fd_load_sweeps.restype = ctypes.c_int64
+    lib.fd_voxelize.restype = ctypes.c_int64
+    return lib
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def load_sweeps_native(paths: Sequence[str], transforms, time_lags,
+                       max_points: int, file_feats: int = 5,
+                       keep_feats: int = 5, close_radius: float = 1.0
+                       ) -> Optional[np.ndarray]:
+    """Threaded sweep aggregation. transforms: list of (4,4) or None.
+    Returns (N, keep_feats+1) or None if the native lib is unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    has_tm = np.array([t is not None for t in transforms], np.uint8)
+    tms = np.zeros((n, 16), np.float64)
+    for i, t in enumerate(transforms):
+        if t is not None:
+            tms[i] = np.asarray(t, np.float64).reshape(16)
+    lags = np.asarray(time_lags, np.float64)
+    out = np.zeros((max_points, keep_feats + 1), np.float32)
+    total = lib.fd_load_sweeps(
+        c_paths, has_tm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        tms.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        lags.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(n), ctypes.c_double(close_radius),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(max_points), ctypes.c_int(file_feats),
+        ctypes.c_int(keep_feats))
+    if total < 0:
+        return None
+    return out[:total]
+
+
+def voxelize_native(points: np.ndarray, voxel_size, coors_range,
+                    max_points: int, max_voxels: int):
+    """Native hard voxelizer (exact numba-kernel semantics). Returns
+    (voxels, coors, num_points) or None."""
+    lib = _lib()
+    if lib is None:
+        return None
+    points = np.ascontiguousarray(points, np.float32)
+    n, f = points.shape
+    vs = np.asarray(voxel_size, np.float64)
+    cr = np.asarray(coors_range, np.float64)
+    grid = np.round((cr[3:] - cr[:3]) / vs).astype(np.int64)
+    voxels = np.zeros((max_voxels, max_points, f), np.float32)
+    coors = np.zeros((max_voxels, 3), np.int32)
+    nump = np.zeros((max_voxels,), np.int32)
+    scratch = np.full(int(np.prod(grid)), -1, np.int32)
+    num = lib.fd_voxelize(
+        points.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(n), ctypes.c_int(f),
+        vs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        cr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int(max_points), ctypes.c_int64(max_voxels),
+        voxels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        coors.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nump.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return voxels[:num], coors[:num], nump[:num]
+
+
+def shuffle_native(points: np.ndarray, seed: int = 0) -> bool:
+    lib = _lib()
+    if lib is None:
+        return False
+    points = np.ascontiguousarray(points)
+    lib.fd_shuffle(points.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                   ctypes.c_int64(points.shape[0]),
+                   ctypes.c_int(points.shape[1]), ctypes.c_uint64(seed))
+    return True
