@@ -97,14 +97,16 @@ class PillarFeatureNet(nn.Module):
         x = jnp.concatenate([pts, f_cluster, f_center], -1) * w
 
         for i, ch in enumerate(self.num_filters):
-            x = nn.Dense(ch, use_bias=False)(x)
+            last = i == len(self.num_filters) - 1
+            units = ch if last else ch // 2  # ref PFNLayer:29-31
+            x = nn.Dense(units, use_bias=False)(x)
             x = MaskedBatchNorm(axis_name=self.axis_name)(x, valid, train=train)
             x = nn.relu(x)
             pooled = jax.ops.segment_max(
                 jnp.where(valid[:, None], x, -jnp.inf), m.slot,
                 num_segments=self.max_pillars + 1)[:self.max_pillars]
             pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
-            if i < len(self.num_filters) - 1:
+            if not last:
                 x = jnp.concatenate(
                     [x, pooled[jnp.minimum(m.slot, self.max_pillars)]], -1)
         return pooled
