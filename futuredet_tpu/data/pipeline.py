@@ -229,10 +229,17 @@ class NuScenesForecastDataset:
         if cfg.data.shuffle_points:
             self.rng.shuffle(pts)
         points, pvalid = pack_points(pts, cfg.voxel.max_points, self.rng)
-        return {"points": points, "points_valid": pvalid,
-                "gt_boxes": gt_boxes, "gt_classes": gt_cls,
-                "gt_valid": gt_valid, "traj_classes": gt_traj,
-                "token": info.get("token", str(idx))}
+        out = {"points": points, "points_valid": pvalid,
+               "gt_boxes": gt_boxes, "gt_classes": gt_cls,
+               "gt_valid": gt_valid, "traj_classes": gt_traj,
+               "token": info.get("token", str(idx))}
+        if cfg.model.head.bev_map:
+            bev = np.asarray(info.get("bev", np.zeros((180, 180, 3))),
+                             np.float32)
+            if bev.ndim == 2:
+                bev = bev[..., None]
+            out["bev_map"] = bev / 255.0 if bev.max() > 1.5 else bev
+        return out
 
 
 def batches_from_dataset(ds, cfg: ExperimentConfig, batch_size: int,
@@ -257,6 +264,9 @@ def batches_from_dataset(ds, cfg: ExperimentConfig, batch_size: int,
                     for s in samples]
             batch["targets"] = {k: jnp.stack([t[k] for t in tgts])
                                 for k in tgts[0]}
+            if "bev_map" in samples[0]:
+                batch["bev_map"] = jnp.asarray(
+                    np.stack([s["bev_map"] for s in samples]))
             batch["tokens"] = [s["token"] for s in samples]
             batch["gt"] = {
                 "boxes": np.stack([s["gt_boxes"] for s in samples]),

@@ -35,7 +35,7 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
-def make_optimizer(cfg: ExperimentConfig, total_steps: int):
+def make_optimizer(cfg: ExperimentConfig, total_steps: int, params=None):
     o = cfg.train.optim
     lr = functools.partial(one_cycle_lr, total_steps=total_steps,
                            lr_max=o.lr_max, div_factor=o.div_factor,
@@ -49,6 +49,11 @@ def make_optimizer(cfg: ExperimentConfig, total_steps: int):
                 learning_rate, b1=b1, weight_decay=o.weight_decay)
         )(learning_rate=lr, b1=b1),
     )
+    if cfg.model.head.two_stage and params is not None:
+        # TWO_STAGE fine-tuning: freeze everything but vel/rot branches
+        # (ref apis/train.py:353-356)
+        from ..models.two_stage import two_stage_trainable_mask
+        tx = optax.masked(tx, two_stage_trainable_mask(params))
     return tx
 
 
@@ -58,7 +63,7 @@ def init_state(cfg: ExperimentConfig, rng, batch, total_steps: int,
     variables = jax.jit(
         functools.partial(model.init, train=True)
     )(rng, batch["points"], batch["points_valid"])
-    tx = make_optimizer(cfg, total_steps)
+    tx = make_optimizer(cfg, total_steps, variables["params"])
     opt_state = tx.init(variables["params"])
     return TrainState(step=jnp.zeros((), jnp.int32),
                       params=variables["params"],
@@ -74,7 +79,7 @@ def make_train_step(cfg: ExperimentConfig, mesh: Mesh, total_steps: int):
     gradient reductions use explicit `data`-axis collectives.
     """
     model = build_detector(cfg, axis_name=DATA_AXIS)
-    tx = make_optimizer(cfg, total_steps)
+    tx = None  # built lazily with params for the two_stage freeze mask
 
     def local_step(state: TrainState, batch):
         def loss_fn(params):
@@ -86,6 +91,7 @@ def make_train_step(cfg: ExperimentConfig, mesh: Mesh, total_steps: int):
             losses = center_head_loss(cfg.model.head, preds, batch["targets"])
             return losses["loss"], (losses, mut["batch_stats"])
 
+        tx = make_optimizer(cfg, total_steps, state.params)
         (loss, (losses, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         grads = jax.lax.pmean(grads, DATA_AXIS)
