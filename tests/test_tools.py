@@ -70,3 +70,28 @@ def test_waymo_reader(tmp_path):
     # intensity tanh-normalized into [-1, 1]
     pv = s["points"][s["points_valid"]]
     assert np.all(np.abs(pv[:, 3]) <= 1.0)
+
+
+def test_serialize_submission(tmp_path):
+    import json
+    from futuredet_tpu.eval.linking import Trajectory
+    from futuredet_tpu.eval.serialize import serialize_trajectory, \
+        write_submission
+
+    boxes = np.zeros((7, 9), np.float32)
+    boxes[:, 0] = np.arange(7) * 2.0
+    boxes[:, 3:6] = [2, 4.5, 1.6]
+    boxes[:, 6] = 4.0
+    tr = Trajectory(boxes=boxes, scores=np.full(7, 0.9, np.float32),
+                    forecast_id=3)
+    tokens = [f"t{i}" for i in range(7)]
+    ann = serialize_trajectory(tr, tokens, "car", forecast_score=0.8)
+    assert ann["attribute_name"] == "vehicle.moving"  # speed 4 > 0.2
+    assert len(ann["forecast_boxes"]) == 7
+    assert ann["forecast_boxes"][3]["sample_token"] == "t3"
+    assert ann["forecast_id"] == 3
+    out = tmp_path / "sub.json"
+    write_submission(str(out), {"t0": [ann]})
+    doc = json.loads(out.read_text())
+    assert doc["meta"]["use_lidar"] is True
+    assert doc["results"]["t0"][0]["forecast_score"] == 0.8
