@@ -116,8 +116,15 @@ def decode_and_nms(cfg: ExperimentConfig,
                 & jnp.all(boxes[..., :3] <= rng[3:], -1))
     ok = (scores > tc.score_threshold) & in_range
 
+    # fused Pallas NMS on TPU; XLA fallback elsewhere (CPU tests, interpret
+    # mode is slower than the XLA path)
+    if jax.default_backend() == "tpu":
+        from ..ops.pallas_nms import rotate_nms_pallas as _nms
+    else:
+        _nms = rotate_nms
+
     def one(b, s, v):
-        sel, _ = rotate_nms(
+        sel, _ = _nms(
             b[:, [0, 1, 2, 3, 4, 5, 8]], s, v,
             iou_threshold=tc.nms.iou_threshold,
             pre_max=tc.nms.pre_max_size, post_max=tc.nms.post_max_size)
