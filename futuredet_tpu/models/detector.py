@@ -19,7 +19,8 @@ from ..ops.voxelize import PointVoxelMap, point_voxel_map
 from .backbone2d import RPN
 from .center_head import CenterHead
 from .layers import ConvBNReLU
-from .readers import PillarFeatureNet, scatter_to_bev
+from .readers import (PillarFeatureNet, PillarFeatureNetDirect,
+                      scatter_to_bev)
 
 
 def _batched_point_voxel_map(points, points_valid, cfg: ExperimentConfig,
@@ -49,19 +50,13 @@ class PointPillarsDetector(nn.Module):
     @nn.compact
     def __call__(self, points, points_valid, bev_map=None, train: bool = False):
         c = self.cfg
-        B = points.shape[0]
-        max_v = c.voxel.max_voxels_train if train else c.voxel.max_voxels_eval
-        m = _batched_point_voxel_map(points, points_valid, c, max_v)
-
-        feats = PillarFeatureNet(
+        gx, gy, _ = c.voxel.grid_size
+        # sortless direct-scatter pillarization (see PillarFeatureNetDirect)
+        canvas = PillarFeatureNetDirect(
             num_filters=c.model.pillar_filters,
             voxel_size=c.voxel.voxel_size[:2], pc_range=c.voxel.pc_range,
-            max_pillars=B * max_v, axis_name=self.axis_name,
-            name="reader")(m, train)
-
-        gx, gy, _ = c.voxel.grid_size
-        canvas = jax.vmap(lambda f, co: scatter_to_bev(f, co, (gy, gx)))(
-            feats.reshape(B, max_v, -1), m.coords.reshape(B, max_v, 3))
+            grid_hw=(gy, gx), axis_name=self.axis_name,
+            name="reader")(points, points_valid, train)
 
         x = RPN(layer_nums=c.model.rpn.layer_nums,
                 ds_strides=c.model.rpn.ds_strides,

@@ -112,6 +112,71 @@ class PillarFeatureNet(nn.Module):
         return pooled
 
 
+class PillarFeatureNetDirect(nn.Module):
+    """Sortless pillarization + PFN + direct canvas scatter.
+
+    TPU-first replacement for the sort/compact pillar path: because the PFN
+    pools by MAX over each pillar's points, neither the FCFS point cap nor a
+    compacted pillar list is needed — every point scatters straight into the
+    full (H*W, C) canvas with one segment_max. No argsort (the sort was the
+    single most expensive op in the forward pass), no pillar budget.
+
+    Semantics vs the reference (pillar_encoder.py:59-153): identical
+    decoration (cluster offset from the pillar mean over ALL in-range points,
+    center offset) and max pooling; the reference's max_points_in_voxel
+    truncation is dropped — with max pooling it only ever removed
+    information.
+    """
+    num_filters: Tuple[int, ...] = (64,)
+    voxel_size: Tuple[float, float] = (0.2, 0.2)
+    pc_range: Tuple[float, ...] = (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0)
+    grid_hw: Tuple[int, int] = (512, 512)
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, points, points_valid, train: bool = False):
+        """points (B, P, F) -> canvas (B, H, W, C)."""
+        B, P, F = points.shape
+        H, W = self.grid_hw
+        vx, vy = self.voxel_size
+        x0, y0 = self.pc_range[0], self.pc_range[1]
+        z0, z1 = self.pc_range[2], self.pc_range[5]
+
+        pts = points.reshape(B * P, F)
+        ix = jnp.floor((pts[:, 0] - x0) / vx).astype(jnp.int32)
+        iy = jnp.floor((pts[:, 1] - y0) / vy).astype(jnp.int32)
+        ok = (points_valid.reshape(-1) & (ix >= 0) & (ix < W)
+              & (iy >= 0) & (iy < H) & (pts[:, 2] >= z0) & (pts[:, 2] <= z1))
+        batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), P)
+        pid = jnp.where(ok, (batch_idx * H + iy) * W + ix, B * H * W)
+        n_seg = B * H * W + 1
+
+        w = ok.astype(pts.dtype)[:, None]
+        sums = jax.ops.segment_sum(
+            jnp.concatenate([pts[:, :3] * w, w], -1), pid, num_segments=n_seg)
+        cnt = jnp.maximum(sums[:, 3], 1.0)
+        means = sums[:, :3] / cnt[:, None]
+        f_cluster = pts[:, :3] - means[pid]
+
+        cx = ix.astype(pts.dtype) * vx + (vx / 2 + x0)
+        cy = iy.astype(pts.dtype) * vy + (vy / 2 + y0)
+        f_center = jnp.stack([pts[:, 0] - cx, pts[:, 1] - cy], -1)
+
+        x = jnp.concatenate([pts, f_cluster, f_center], -1) * w
+        for i, ch in enumerate(self.num_filters):
+            last = i == len(self.num_filters) - 1
+            units = ch if last else ch // 2
+            x = nn.Dense(units, use_bias=False)(x)
+            x = MaskedBatchNorm(axis_name=self.axis_name)(x, ok, train=train)
+            x = nn.relu(x)
+            pooled = jax.ops.segment_max(
+                jnp.where(ok[:, None], x, -jnp.inf), pid, num_segments=n_seg)
+            pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
+            if not last:
+                x = jnp.concatenate([x, pooled[pid]], -1)
+        return pooled[:B * H * W].reshape(B, H, W, -1)
+
+
 def scatter_to_bev(features, coords, grid_hw: Tuple[int, int]):
     """Scatter (V, C) pillar/voxel features into an (H, W, C) BEV canvas.
 
