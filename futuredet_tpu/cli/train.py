@@ -35,6 +35,8 @@ def parse_args(argv=None):
     p.add_argument("--tiny", action="store_true",
                    help="shrunken geometry for smoke tests")
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--profile", default=None,
+                   help="capture a jax.profiler trace to this log dir")
     return p.parse_args(argv)
 
 
@@ -83,8 +85,14 @@ def main(argv=None):
                                                  seed=args.seed))
         steps_per_epoch = max(len(ds) // batch_size, 1)
 
-    state = train(cfg, batches, steps_per_epoch=steps_per_epoch,
-                  work_dir=work_dir, resume=args.resume_from)
+    if args.profile:
+        from ..utils.profiling import trace
+        with trace(args.profile):
+            state = train(cfg, batches, steps_per_epoch=steps_per_epoch,
+                          work_dir=work_dir, resume=args.resume_from)
+    else:
+        state = train(cfg, batches, steps_per_epoch=steps_per_epoch,
+                      work_dir=work_dir, resume=args.resume_from)
     logging.info("training done at step %d; checkpoints in %s",
                  int(state.step), work_dir)
     return state

@@ -47,11 +47,17 @@ def train(cfg: ExperimentConfig, batches: Iterable[dict], *,
           log_fn: Callable[[str], None] = log.info) -> TrainState:
     """Run the full schedule over `batches` (an infinite batch iterator whose
     leaves lead with the global batch dim)."""
-    mesh = make_mesh(n_devices)
+    import math
+
     total_steps = steps_per_epoch * cfg.train.total_epochs
 
     it = iter(batches)
     first = next(it)
+    if n_devices is None:
+        # mesh size must divide the global batch
+        global_batch = int(first["points"].shape[0])
+        n_devices = math.gcd(global_batch, jax.device_count())
+    mesh = make_mesh(n_devices)
     state = init_state(cfg, jax.random.PRNGKey(cfg.train.seed),
                        jax.tree.map(lambda x: x[:1], first), total_steps)
     step_fn = make_train_step(cfg, mesh, total_steps)

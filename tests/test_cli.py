@@ -1,0 +1,31 @@
+"""CLI round trip on CPU: train --tiny -> checkpoint -> evaluate --tiny."""
+import json
+import os
+
+import numpy as np
+
+
+def test_train_then_evaluate_cli_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from futuredet_tpu.cli.train import main as train_main
+    from futuredet_tpu.cli.evaluate import main as eval_main
+
+    state = train_main(["--model", "forecast_n0", "--tiny", "--synthetic", "4",
+                        "--batch_size", "2", "--epochs", "2"])
+    assert int(state.step) == 4
+    ckpt_dir = (tmp_path / "models" / "FutureDetection"
+                / "nusc_centerpoint_forecast_n0_detection")
+    assert ckpt_dir.is_dir()
+
+    out = tmp_path / "metrics.json"
+    summary = eval_main(["--model", "forecast_n0", "--tiny", "--synthetic", "4",
+                         "--batch_size", "2",
+                         "--forecast_mode", "velocity_constant",
+                         "--out", str(out)])
+    assert out.exists()
+    doc = json.loads(out.read_text())
+    assert "car" in doc["mean_dist_aps"]
+    assert 0.0 <= doc["mean_dist_aps"]["car"] <= 1.0
+    for k in ("mean_dist_faps", "mean_dist_aaps", "mean_dist_faps_mr",
+              "label_tp_errors"):
+        assert k in doc
