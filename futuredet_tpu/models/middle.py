@@ -91,7 +91,7 @@ class SparseMiddleEncoder(nn.Module):
 
         dims = self.grid_zyx
         # stage 0: subm conv_input + 2 residual blocks (ref :98-107)
-        table = neighbor_table(grid)
+        table = neighbor_table(grid, dims)
         x = SparseConv(self.channels[0], use_bias=False, name="conv_input")(
             x, table)
         x = MaskedBatchNorm(axis_name=self.axis_name, name="bn_input")(
@@ -105,14 +105,14 @@ class SparseMiddleEncoder(nn.Module):
         for s in range(1, 4):
             out_dims = tuple(max((d + 1) // 2, 1) for d in dims)
             ngrid = downsample_coords(grid, out_dims, self.vmax[s])
-            dtable = strided_gather_table(grid, ngrid)
+            dtable = strided_gather_table(grid, ngrid, dims)
             x = SparseConv(self.channels[s], use_bias=False,
                            name=f"down{s}")(x, dtable)
             x = MaskedBatchNorm(axis_name=self.axis_name, name=f"bn_down{s}")(
                 x, ngrid.valid, train=train)
             x = nn.relu(x)
             grid, dims = ngrid, out_dims
-            table = neighbor_table(grid)
+            table = neighbor_table(grid, dims)
             for j in range(2):
                 x = SparseBasicBlock(self.channels[s],
                                      axis_name=self.axis_name,
@@ -122,6 +122,6 @@ class SparseMiddleEncoder(nn.Module):
         # z-crush (ref extra_conv :140-146 + .dense() reshape :165-168):
         # scatter to dense (Z4, Y4, X4, C) and fold z into channels
         x = jnp.where(grid.valid[:, None], x, 0.0)
-        dense = scatter_dense(x, grid)                 # (Z, Y, X, C)
+        dense = scatter_dense(x, grid, dims)           # (Z, Y, X, C)
         Z, Y, X, C = dense.shape
         return dense.transpose(1, 2, 0, 3).reshape(Y, X, Z * C)

@@ -6,8 +6,9 @@ SubMConv3d / SparseConv3d). No rulebook state machine, no dynamic shapes:
 
   * active sites live in fixed-capacity buffers: coords (V, 3) zyx sorted by
     linear id, features (V, C), validity mask
-  * neighbor lookup = binary search (searchsorted) of `site_id + offset_id`
-    in the sorted id array — one (K, V) index table per conv topology
+  * neighbor lookup through a dense cell->site index grid (one scatter +
+    direct gathers; ~100x faster than searchsorted on TPU, whose binary
+    search lowers to a serial gather chain) — one (K, V) table per topology
   * conv = for each of the K kernel offsets: gather -> (V, Cin) x (Cin, Cout)
     matmul -> accumulate. The matmuls batch onto the MXU; the gathers are
     HBM-bandwidth bound, which is the same regime spconv's CUDA kernels
@@ -29,10 +30,12 @@ import numpy as np
 
 
 class SparseGrid(NamedTuple):
+    """Active-site set. `dims` is passed separately to every op (keeping it
+    out of the pytree so grids cross jit boundaries without the static shape
+    turning into a traced leaf)."""
     coords: jax.Array    # (V, 3) int32 zyx, sorted by linear id; -1 padded
     ids: jax.Array       # (V,) int32 linear ids; sentinel (=prod(dims)) padded
     valid: jax.Array     # (V,) bool
-    dims: Tuple[int, int, int]  # (Z, Y, X) static
 
 
 def linear_ids(coords, dims):
@@ -46,8 +49,7 @@ def make_grid(coords, valid, dims: Tuple[int, int, int]) -> SparseGrid:
     ids = jnp.where(valid, linear_ids(coords, dims), sentinel)
     order = jnp.argsort(ids)
     ids = ids[order]
-    return SparseGrid(coords=coords[order], ids=ids, valid=ids < sentinel,
-                      dims=dims)
+    return SparseGrid(coords=coords[order], ids=ids, valid=ids < sentinel)
 
 
 def _offsets(kernel: int = 3):
@@ -60,18 +62,34 @@ def _offsets(kernel: int = 3):
     return out
 
 
-def neighbor_table(grid: SparseGrid, kernel: int = 3) -> jax.Array:
+def _dense_index_grid(grid: SparseGrid, dims) -> jax.Array:
+    """Dense (Z*Y*X,) int32 map cell -> site index (V where empty).
+
+    One 120k scatter + direct gathers beats binary search by ~100x on TPU:
+    searchsorted lowers to a 17-deep serial gather chain per query, while the
+    dense grid costs a single one-shot scatter and O(1) lookups. Stage-0 cost
+    is a 340 MB transient (41x1440x1440 int32) — cheap against v5e HBM.
+    """
+    V = grid.ids.shape[0]
+    Z, Y, X = dims
+    total = Z * Y * X
+    dense = jnp.full((total + 1,), V, jnp.int32)
+    idx = jnp.where(grid.valid, grid.ids, total)
+    dense = dense.at[idx].set(jnp.arange(V, dtype=jnp.int32))
+    return dense[:total]
+
+
+def neighbor_table(grid: SparseGrid, dims, kernel: int = 3) -> jax.Array:
     """(K, V) gather indices into the site array; V (trash) where absent."""
     V = grid.ids.shape[0]
-    dims = grid.dims
+    dense = _dense_index_grid(grid, dims)
     offs = np.array(_offsets(kernel), np.int32)            # (K, 3)
     c = grid.coords[None, :, :] + offs[:, None, :]         # (K, V, 3)
     inb = jnp.all((c >= 0) & (c < jnp.asarray(dims, jnp.int32)), axis=-1)
     q = (c[..., 0] * dims[1] + c[..., 1]) * dims[2] + c[..., 2]
-    pos = jnp.searchsorted(grid.ids, q)                    # (K, V)
-    pos = jnp.minimum(pos, V - 1)
-    hit = (jnp.take(grid.ids, pos) == q) & inb & grid.valid[None, :]
-    return jnp.where(hit, pos, V)
+    q = jnp.clip(q, 0, dims[0] * dims[1] * dims[2] - 1)
+    pos = dense[q]                                         # (K, V)
+    return jnp.where(inb & grid.valid[None, :], pos, V)
 
 
 def subm_conv_apply(features, table, weights, bias=None):
@@ -110,28 +128,28 @@ def downsample_coords(grid: SparseGrid, out_dims: Tuple[int, int, int],
     out_ids = jnp.full((max_out + 1,), sentinel, jnp.int32).at[tgt].set(
         sids.astype(jnp.int32))
     return SparseGrid(coords=out_coords[:max_out], ids=out_ids[:max_out],
-                      valid=out_ids[:max_out] < sentinel, dims=out_dims)
+                      valid=out_ids[:max_out] < sentinel)
 
 
-def strided_gather_table(in_grid: SparseGrid, out_grid: SparseGrid,
+def strided_gather_table(in_grid: SparseGrid, out_grid: SparseGrid, dims,
                          kernel: int = 3) -> jax.Array:
     """(K, V_out) indices into input sites for a kernel-3 stride-2 pad-1 conv:
-    input position for output o and offset k is 2*o + k - 1."""
+    input position for output o and offset k is 2*o + k - 1. `dims` = INPUT
+    grid dims."""
     V_in = in_grid.ids.shape[0]
+    dense = _dense_index_grid(in_grid, dims)
     offs = np.array(_offsets(kernel), np.int32)            # (K, 3)
     c = 2 * out_grid.coords[None, :, :] + offs[:, None, :]
-    dims = in_grid.dims
     inb = jnp.all((c >= 0) & (c < jnp.asarray(dims, jnp.int32)), axis=-1)
     q = (c[..., 0] * dims[1] + c[..., 1]) * dims[2] + c[..., 2]
-    pos = jnp.searchsorted(in_grid.ids, q)
-    pos = jnp.minimum(pos, V_in - 1)
-    hit = (jnp.take(in_grid.ids, pos) == q) & inb & out_grid.valid[None, :]
-    return jnp.where(hit, pos, V_in)
+    q = jnp.clip(q, 0, dims[0] * dims[1] * dims[2] - 1)
+    pos = dense[q]
+    return jnp.where(inb & out_grid.valid[None, :], pos, V_in)
 
 
-def scatter_dense(features, grid: SparseGrid):
+def scatter_dense(features, grid: SparseGrid, dims):
     """(V, C) active features -> dense (Z, Y, X, C)."""
-    Z, Y, X = grid.dims
+    Z, Y, X = dims
     idx = jnp.where(grid.valid, grid.ids, Z * Y * X)
     canvas = jnp.zeros((Z * Y * X + 1, features.shape[-1]), features.dtype)
     canvas = canvas.at[idx].set(

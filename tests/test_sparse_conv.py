@@ -43,7 +43,7 @@ def test_subm_conv_matches_dense_conv_on_active_sites():
                                 (coords[:, 0] * dims[1] + coords[:, 1])
                                 * dims[2] + coords[:, 2], np.prod(dims)))
     sfeats = feats[order]
-    table = SC.neighbor_table(grid)
+    table = SC.neighbor_table(grid, dims)
     out = np.asarray(SC.subm_conv_apply(jnp.asarray(sfeats), table,
                                         jnp.asarray(W)))
 
@@ -90,7 +90,7 @@ def test_downsample_dedupes_and_strided_table_hits():
                                     np.asarray(ng.valid).tolist()) if v}
     assert got == {(0, 0, 0), (1, 1, 1), (3, 3, 3)}
 
-    tbl = np.asarray(SC.strided_gather_table(grid, ng))
+    tbl = np.asarray(SC.strided_gather_table(grid, ng, dims))
     # every input voxel must be reachable from some (offset, out_site) pair
     hit_inputs = set(tbl[tbl < V].tolist())
     active_idx = {i for i in range(V) if np.asarray(grid.valid)[i]}
