@@ -77,8 +77,12 @@ def make_train_step(cfg: ExperimentConfig, mesh: Mesh, total_steps: int):
     batch pytree leaves lead with the global batch dim, sharded over `data`;
     state is replicated. The body runs under shard_map so BatchNorm and
     gradient reductions use explicit `data`-axis collectives.
+
+    Single-device meshes skip shard_map entirely (collectives are identities
+    and the shard_map wrapper costs ~170x on the tunneled TPU backend).
     """
-    model = build_detector(cfg, axis_name=DATA_AXIS)
+    single = mesh.devices.size == 1
+    model = build_detector(cfg, axis_name=None if single else DATA_AXIS)
     tx = None  # built lazily with params for the two_stage freeze mask
 
     def local_step(state: TrainState, batch):
@@ -94,19 +98,25 @@ def make_train_step(cfg: ExperimentConfig, mesh: Mesh, total_steps: int):
         tx = make_optimizer(cfg, total_steps, state.params)
         (loss, (losses, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        grads = jax.lax.pmean(grads, DATA_AXIS)
-        loss = jax.lax.pmean(loss, DATA_AXIS)
+        if not single:
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            loss = jax.lax.pmean(loss, DATA_AXIS)
         # batch_stats were already pmean'ed inside BN (axis_name), but the
         # running-average update happens per-shard on identical values, so a
         # plain carry-through is consistent across devices.
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss,
-                   "hm_loss": jax.lax.pmean(losses["hm_loss"], DATA_AXIS),
-                   "loc_loss": jax.lax.pmean(losses["loc_loss"], DATA_AXIS),
+                   "hm_loss": losses["hm_loss"] if single
+                   else jax.lax.pmean(losses["hm_loss"], DATA_AXIS),
+                   "loc_loss": losses["loc_loss"] if single
+                   else jax.lax.pmean(losses["loc_loss"], DATA_AXIS),
                    "grad_norm": optax.global_norm(grads)}
         return TrainState(step=state.step + 1, params=new_params,
                           batch_stats=new_bs, opt_state=new_opt), metrics
+
+    if single:
+        return jax.jit(local_step, donate_argnums=(0,))
 
     state_spec = P()   # replicated
     batch_spec = P(DATA_AXIS)
