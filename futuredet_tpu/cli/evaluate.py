@@ -33,6 +33,9 @@ def parse_args(argv=None):
     p.add_argument("--cohort_analysis", action="store_true")
     p.add_argument("--static_only", action="store_true")
     p.add_argument("--nogroup", action="store_true")
+    p.add_argument("--association_oracle", action="store_true")
+    p.add_argument("--jitter", action="store_true")
+    p.add_argument("--C", type=float, default=1.0)
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--out", default=None, help="metrics json path")
     p.add_argument("--seed", type=int, default=0)
@@ -109,7 +112,8 @@ def main(argv=None):
     for det, gt, tokens in all_preds:
         p = detections_to_predictions(
             cfg, det, tokens, forecast_mode=args.forecast_mode,
-            classname=classname, rerank=args.rerank, nogroup=args.nogroup)
+            classname=classname, rerank=args.rerank, nogroup=args.nogroup,
+            jitter=args.jitter, jitter_K=args.K, jitter_C=args.C)
         for x in p:
             x.yaw = float(-x.yaw - np.pi / 2)
         preds += p
@@ -118,7 +122,8 @@ def main(argv=None):
     results = evaluate_forecasts(
         preds, gts, [classname], tp_pct=args.tp_pct,
         cohort_analysis=args.cohort_analysis, topk=args.K,
-        static_only=args.static_only)
+        static_only=args.static_only,
+        association_oracle=args.association_oracle)
 
     summary = results.summary()
     out_path = args.out or f"metrics_{args.model}_{args.forecast_mode}.json"

@@ -27,7 +27,9 @@ def detections_to_predictions(cfg: ExperimentConfig, det: Detections,
                               sample_tokens: Sequence[str], *,
                               forecast_mode: str = "velocity_dense",
                               classname: str = "car", rerank: str = "last",
-                              nogroup: bool = False) -> List[PredRecord]:
+                              nogroup: bool = False, jitter: bool = False,
+                              jitter_K: int = 1, jitter_C: float = 1.0
+                              ) -> List[PredRecord]:
     """Link each sample's Detections and serialize PredRecords
     (ref evaluation loop nuscenes.py:752-807)."""
     T = cfg.model.head.target_timesteps
@@ -41,6 +43,9 @@ def detections_to_predictions(cfg: ExperimentConfig, det: Detections,
     for b, tok in enumerate(sample_tokens):
         per_t = split_by_timestep(boxes[b], scores[b], labels[b], valid[b], T)
         trajs = link_sample(classname, forecast_mode, times, per_t)
+        if jitter and jitter_K > 1:
+            from .linking import jitter_trajectories
+            trajs = jitter_trajectories(trajs, times, jitter_K, jitter_C)
         if not nogroup:
             trajs = multi_future(trajs)
         for i, tr in enumerate(trajs):
@@ -82,12 +87,15 @@ def evaluate_detections(cfg: ExperimentConfig, det: Detections, gt,
                         classname: str = "car", rerank: str = "last",
                         tp_pct: float = 0.6, cohort_analysis: bool = False,
                         topk: int = 1, static_only: bool = False,
-                        nogroup: bool = False) -> EvalResult:
+                        nogroup: bool = False, association_oracle: bool = False,
+                        jitter: bool = False, jitter_C: float = 1.0
+                        ) -> EvalResult:
     """One-call evaluation used by tests/CLI. `gt` = dict with boxes
     (B,T,M,12), valid (B,T,M), traj (B,M)."""
     preds = detections_to_predictions(
         cfg, det, sample_tokens, forecast_mode=forecast_mode,
-        classname=classname, rerank=rerank, nogroup=nogroup)
+        classname=classname, rerank=rerank, nogroup=nogroup,
+        jitter=jitter, jitter_K=topk, jitter_C=jitter_C)
     gts = gt_records_from_arrays(gt["boxes"], gt["valid"], gt.get("traj"),
                                  sample_tokens, classname)
     # yaw convention: GTRecord yaw converted from stored (-yaw-pi/2); decoded
@@ -96,4 +104,5 @@ def evaluate_detections(cfg: ExperimentConfig, det: Detections, gt,
         p.yaw = float(-p.yaw - np.pi / 2)
     return evaluate_forecasts(
         preds, gts, [classname], tp_pct=tp_pct,
-        cohort_analysis=cohort_analysis, topk=topk, static_only=static_only)
+        cohort_analysis=cohort_analysis, topk=topk, static_only=static_only,
+        association_oracle=association_oracle)

@@ -183,6 +183,28 @@ def trajectory_score(tr: Trajectory, rerank: str, timesteps: int) -> float:
     raise ValueError(rerank)
 
 
+def jitter_trajectories(trajs: List[Trajectory], times, K: int, C: float,
+                        rng=None) -> List[Trajectory]:
+    """K-1 extra constant-velocity futures per trajectory with velocity noise
+    scaled by C * |v| (ref nuscenes.py:473-491, --jitter/--K/--C flags)."""
+    rng = rng or np.random.default_rng(0)
+    out = list(trajs)
+    T = len(times) + 1
+    for tr in trajs:
+        start = tr.boxes[0]
+        vnorm = C * float(np.linalg.norm(start[6:8]))
+        for _ in range(K - 1):
+            jv = rng.normal(start[6:8], vnorm)
+            boxes = [start.copy()]
+            for i in range(T - 1):
+                nb = boxes[-1].copy()
+                nb[:2] = nb[:2] + times[i] * jv
+                boxes.append(nb)
+            out.append(Trajectory(boxes=np.stack(boxes), scores=tr.scores,
+                                  forecast_id=tr.forecast_id))
+    return out
+
+
 class _UnionFind:
     def __init__(self, n):
         self.p = list(range(n))

@@ -75,7 +75,8 @@ def _yaw_diff(a, b):
 
 def _accumulate(preds: List[PredRecord], gts: List[GTRecord], dist_th: float,
                 *, use_forecast_score: bool, final_match_th: Optional[float],
-                match_timestep: int = 0, topk: int = 1):
+                match_timestep: int = 0, topk: int = 1,
+                association_oracle: bool = False):
     """Greedy score-ordered matching (nuScenes accumulate()).
 
     final_match_th: if set, a TP additionally requires final-timestep center
@@ -131,6 +132,13 @@ def _accumulate(preds: List[PredRecord], gts: List[GTRecord], dist_th: float,
                 continue
             gi = cand[j]
             g = gts[gi]
+            if association_oracle:
+                # oracle association (ref --association_oracle,
+                # tools/dist_test.py:93): the matched GT's future replaces the
+                # predicted future, isolating detection quality
+                p = PredRecord(p.sample, g.centers.copy(), p.size, p.yaw,
+                               p.vel, p.det_score, p.forecast_score,
+                               p.forecast_id, p.classname)
             if final_match_th is not None:
                 dF = np.linalg.norm(p.centers[-1] - g.centers[-1])
                 if dF >= final_match_th:
@@ -243,6 +251,7 @@ def evaluate_forecasts(preds: List[PredRecord], gts: List[GTRecord],
                        class_names: Sequence[str], *, tp_pct: float = 0.6,
                        cohort_analysis: bool = False, topk: int = 1,
                        static_only: bool = False,
+                       association_oracle: bool = False,
                        horizon_seconds: float = 3.0) -> EvalResult:
     """Full metric computation over all samples."""
     if cohort_analysis:
@@ -286,14 +295,16 @@ def evaluate_forecasts(preds: List[PredRecord], gts: List[GTRecord],
             ar_list.append(ar)
 
             facc = _accumulate(cls_preds, cls_gts, th, use_forecast_score=True,
-                               final_match_th=th, topk=topk)
+                               final_match_th=th, topk=topk,
+                               association_oracle=association_oracle)
             fap, far = _calc_ap(facc)
             fap_list.append(fap)
             far_list.append(far)
 
             fmracc = _accumulate(cls_preds, cls_gts, th,
                                  use_forecast_score=True,
-                                 final_match_th=MR_THRESH, topk=topk)
+                                 final_match_th=MR_THRESH, topk=topk,
+                                 association_oracle=association_oracle)
             fapmr_list.append(_calc_ap(fmracc)[0])
 
             taps, tars = [], []

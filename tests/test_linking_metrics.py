@@ -132,3 +132,26 @@ def test_cohort_analysis_splits_classes():
     assert set(r.mean_dist_aps) == {"static_car", "linear_car", "nonlinear_car"}
     assert r.mean_dist_aps["static_car"] > 0.99
     assert r.mean_dist_aps["linear_car"] > 0.99
+
+
+def test_association_oracle_rescues_bad_futures():
+    gt_xs = [2 * t for t in range(T)]
+    bad_xs = [2 * t if t == 0 else 2 * t + 30 for t in range(T)]
+    gts = [_mk_gt(f"s{i}", gt_xs) for i in range(10)]
+    preds = [_mk_pred(f"s{i}", bad_xs) for i in range(10)]
+    r = evaluate_forecasts(preds, gts, ["car"])
+    r_o = evaluate_forecasts(preds, gts, ["car"], association_oracle=True)
+    assert r.mean_dist_faps["car"] < 0.01
+    assert r_o.mean_dist_faps["car"] > 0.99
+
+
+def test_jitter_trajectories():
+    from futuredet_tpu.eval.linking import Trajectory, jitter_trajectories
+    boxes = np.stack([_box(2 * t, 0, 4, 0) for t in range(T)])
+    tr = Trajectory(boxes=boxes, scores=np.full(T, 0.9), forecast_id=1)
+    out = jitter_trajectories([tr], TIMES, K=5, C=0.5)
+    assert len(out) == 5
+    # jittered futures share the start box but diverge later
+    for j in out[1:]:
+        np.testing.assert_allclose(j.boxes[0][:2], boxes[0][:2])
+        assert j.forecast_id == 1
