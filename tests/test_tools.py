@@ -95,3 +95,11 @@ def test_serialize_submission(tmp_path):
     doc = json.loads(out.read_text())
     assert doc["meta"]["use_lidar"] is True
     assert doc["results"]["t0"][0]["forecast_score"] == 0.8
+
+
+def test_flops_counter():
+    from futuredet_tpu.utils.flops import model_flops
+    from tests.test_models import tiny_cfg
+    out = model_flops(tiny_cfg(1, False, False))
+    assert out["flops"] > 1e6
+    assert out["bytes_accessed"] > 0
