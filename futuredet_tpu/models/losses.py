@@ -95,6 +95,10 @@ def center_head_loss(cfg: HeadConfig, preds: List[Dict[str, jax.Array]],
     T = cfg.timesteps
     cw = jnp.asarray(cfg.code_weights)
     cwf = jnp.asarray(cfg.code_weights_forecast)
+    # with rvel/rrot heads the target keeps all 14 anno_box columns
+    # (ref :448-455); without them, the 10-column selection (ref :462,469)
+    has_rvel = "rvel" in dict(cfg.common_heads)
+    cols = tuple(range(14)) if has_rvel else _TARGET_COLS_10
 
     hm_t, ind_t = targets["hm"], targets["ind"]
     mask_t, cat_t, anno_t = targets["mask"], targets["cat"], targets["anno_box"]
@@ -109,7 +113,7 @@ def center_head_loss(cfg: HeadConfig, preds: List[Dict[str, jax.Array]],
             hm_loss = fast_focal_loss(hm_pred, hm_t[:, t], ind_t[:, t],
                                       mask_t[:, t], cat_t[:, t])
             box = assemble_anno_box(pd, cfg, None)
-            tgt = anno_t[:, t][..., _TARGET_COLS_10]
+            tgt = anno_t[:, t][..., cols]
             bl = reg_loss(box, mask_t[:, t], ind_t[:, t], tgt)
             loc = jnp.sum(bl * cw)
         elif cfg.classify:
@@ -119,7 +123,7 @@ def center_head_loss(cfg: HeadConfig, preds: List[Dict[str, jax.Array]],
                 targets["ind_trajectory"][:, t], targets["mask_trajectory"][:, t],
                 targets["cat_trajectory"][:, t])
             box = assemble_anno_box(pd, cfg, None)
-            tgt = targets["anno_box_trajectory"][:, t][..., _TARGET_COLS_10]
+            tgt = targets["anno_box_trajectory"][:, t][..., cols]
             bl = reg_loss(box, targets["mask_trajectory"][:, t],
                           targets["ind_trajectory"][:, t], tgt)
             loc = jnp.sum(bl * cw)
@@ -131,7 +135,7 @@ def center_head_loss(cfg: HeadConfig, preds: List[Dict[str, jax.Array]],
                 targets["ind_forecast"][:, 0], targets["mask_forecast"][:, 0],
                 targets["cat_forecast"][:, 0])
             box = assemble_anno_box(pd, cfg, None)
-            tgt = targets["anno_box_trajectory"][:, 0][..., _TARGET_COLS_10]
+            tgt = targets["anno_box_trajectory"][:, 0][..., cols]
             bl = reg_loss(box, targets["mask_forecast"][:, 0],
                           targets["ind_forecast"][:, 0], tgt)
             loc = jnp.sum(bl * cw)
@@ -145,7 +149,7 @@ def center_head_loss(cfg: HeadConfig, preds: List[Dict[str, jax.Array]],
             loc = 0.0
             for i in range(T):
                 box = assemble_anno_box(pd, cfg, i)
-                tgt = anno_t[:, t_anchor][..., _TARGET_COLS_10]
+                tgt = anno_t[:, t_anchor][..., cols]
                 bl = reg_loss(box, mask_t[:, t_anchor], ind_t[:, t_anchor], tgt)
                 loc = loc + jnp.sum(bl * (cw if i == 0 else cwf))
         elif cfg.reverse:
@@ -155,7 +159,7 @@ def center_head_loss(cfg: HeadConfig, preds: List[Dict[str, jax.Array]],
             order = list(range(T))[::-1]
             for i in range(T):
                 box = assemble_anno_box(pd, cfg, i)
-                tgt = anno_t[:, order[i]][..., _TARGET_COLS_10]
+                tgt = anno_t[:, order[i]][..., cols]
                 bl = reg_loss(box, mask_t[:, -1], ind_t[:, -1], tgt)
                 loc = loc + jnp.sum(bl * (cw if i == 0 else cwf))
         else:  # standard (ref :421,:444,:500,:513-514)
@@ -164,7 +168,7 @@ def center_head_loss(cfg: HeadConfig, preds: List[Dict[str, jax.Array]],
             loc = 0.0
             for i in range(T):
                 box = assemble_anno_box(pd, cfg, i)
-                tgt = anno_t[:, i][..., _TARGET_COLS_10]
+                tgt = anno_t[:, i][..., cols]
                 bl = reg_loss(box, mask_t[:, 0], ind_t[:, 0], tgt)
                 loc = loc + jnp.sum(bl * (cw if i == 0 else cwf))
 
