@@ -36,6 +36,9 @@ def parse_args(argv=None):
     p.add_argument("--association_oracle", action="store_true")
     p.add_argument("--jitter", action="store_true")
     p.add_argument("--C", type=float, default=1.0)
+    p.add_argument("--postprocess", action="store_true",
+                   help="snap trajectories to train-set prototypes "
+                        "({classname}_trajectory.pkl from cli.tools)")
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--out", default=None, help="metrics json path")
     p.add_argument("--seed", type=int, default=0)
@@ -95,6 +98,17 @@ def main(argv=None):
             logging.warning("no checkpoint in %s — evaluating random init",
                             ckpt_dir)
 
+    prototypes = None
+    if args.postprocess:
+        import pickle
+        proto_path = f"{classname}_trajectory.pkl"
+        if os.path.exists(proto_path):
+            with open(proto_path, "rb") as f:
+                prototypes = pickle.load(f)
+        else:
+            logging.warning("%s not found — run cli.tools trajectory first",
+                            proto_path)
+
     fwd = make_eval_forward(cfg)
     all_preds = []
     for b in eval_batches:
@@ -113,7 +127,8 @@ def main(argv=None):
         p = detections_to_predictions(
             cfg, det, tokens, forecast_mode=args.forecast_mode,
             classname=classname, rerank=args.rerank, nogroup=args.nogroup,
-            jitter=args.jitter, jitter_K=args.K, jitter_C=args.C)
+            jitter=args.jitter, jitter_K=args.K, jitter_C=args.C,
+            prototypes=prototypes)
         for x in p:
             x.yaw = float(-x.yaw - np.pi / 2)
         preds += p

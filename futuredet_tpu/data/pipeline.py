@@ -244,14 +244,23 @@ class NuScenesForecastDataset:
 
 def batches_from_dataset(ds, cfg: ExperimentConfig, batch_size: int,
                          shuffle: bool = True, seed: int = 0,
-                         loop: bool = True) -> Iterator[dict]:
-    """Assemble device-ready batches; targets rasterized on device."""
+                         loop: bool = True, num_shards: int = 1,
+                         shard_id: int = 0) -> Iterator[dict]:
+    """Assemble device-ready batches; targets rasterized on device.
+
+    num_shards/shard_id: per-host dataset sharding for multi-host training
+    (replaces the reference's DistributedGroupSampler, loader/sampler.py).
+    The per-epoch reseed (ref DistSamplerSeedHook) falls out of advancing one
+    shared rng stream each epoch."""
     import jax.numpy as jnp
     from .targets import build_targets
 
     rng = np.random.default_rng(seed)
+    epoch = 0
     while True:
         order = rng.permutation(len(ds)) if shuffle else np.arange(len(ds))
+        order = order[shard_id::num_shards]
+        epoch += 1
         for i in range(0, len(order) - batch_size + 1, batch_size):
             samples = [ds.sample(int(j)) for j in order[i:i + batch_size]]
             batch = {

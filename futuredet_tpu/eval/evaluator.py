@@ -28,8 +28,8 @@ def detections_to_predictions(cfg: ExperimentConfig, det: Detections,
                               forecast_mode: str = "velocity_dense",
                               classname: str = "car", rerank: str = "last",
                               nogroup: bool = False, jitter: bool = False,
-                              jitter_K: int = 1, jitter_C: float = 1.0
-                              ) -> List[PredRecord]:
+                              jitter_K: int = 1, jitter_C: float = 1.0,
+                              prototypes=None) -> List[PredRecord]:
     """Link each sample's Detections and serialize PredRecords
     (ref evaluation loop nuscenes.py:752-807)."""
     T = cfg.model.head.target_timesteps
@@ -43,6 +43,9 @@ def detections_to_predictions(cfg: ExperimentConfig, det: Detections,
     for b, tok in enumerate(sample_tokens):
         per_t = split_by_timestep(boxes[b], scores[b], labels[b], valid[b], T)
         trajs = link_sample(classname, forecast_mode, times, per_t)
+        if prototypes is not None:
+            from .linking import snap_to_prototypes
+            trajs = snap_to_prototypes(trajs, prototypes)
         if jitter and jitter_K > 1:
             from .linking import jitter_trajectories
             trajs = jitter_trajectories(trajs, times, jitter_K, jitter_C)

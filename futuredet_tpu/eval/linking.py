@@ -183,6 +183,49 @@ def trajectory_score(tr: Trajectory, rerank: str, timesteps: int) -> float:
     raise ValueError(rerank)
 
 
+def snap_to_prototypes(trajs: List[Trajectory], prototypes) -> List[Trajectory]:
+    """--postprocess: snap each predicted trajectory's future offsets to the
+    nearest train-set prototype (ref process_trajectories,
+    nuscenes.py:341-382; prototypes from cli.tools trajectory, ref
+    trajectory.py:43-65).
+
+    prototypes: list of [(vel2, quat4)] + (T-1) xyz offsets (the pkl layout).
+    Matching key = [vel, quat, flattened offsets]; the matched prototype's
+    offsets replace the prediction's future positions.
+    """
+    if not trajs or not prototypes:
+        return trajs
+    proto_vecs = []
+    proto_offsets = []
+    for p in prototypes:
+        vel, rot = p[0]
+        offs = np.concatenate([np.asarray(o, np.float64).ravel()
+                               for o in p[1:]])
+        proto_vecs.append(np.concatenate([np.asarray(vel, np.float64).ravel(),
+                                          np.asarray(rot, np.float64).ravel(),
+                                          offs]))
+        proto_offsets.append(np.stack([np.asarray(o, np.float64)
+                                       for o in p[1:]]))
+    proto_vecs = np.stack(proto_vecs)
+
+    out = []
+    for tr in trajs:
+        T = tr.boxes.shape[0]
+        start = tr.boxes[0]
+        yaw = -start[8] - np.pi / 2
+        rot = [np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)]
+        offs = np.concatenate([(tr.boxes[t, :3] - start[:3])
+                               for t in range(1, T)])
+        key = np.concatenate([start[6:8], rot, offs])
+        j = int(np.argmin(np.linalg.norm(proto_vecs - key, axis=1)))
+        boxes = tr.boxes.copy()
+        for t in range(1, min(T, len(proto_offsets[j]) + 1)):
+            boxes[t, :3] = start[:3] + proto_offsets[j][t - 1]
+        out.append(Trajectory(boxes=boxes, scores=tr.scores,
+                              forecast_id=tr.forecast_id))
+    return out
+
+
 def jitter_trajectories(trajs: List[Trajectory], times, K: int, C: float,
                         rng=None) -> List[Trajectory]:
     """K-1 extra constant-velocity futures per trajectory with velocity noise

@@ -155,3 +155,15 @@ def test_jitter_trajectories():
     for j in out[1:]:
         np.testing.assert_allclose(j.boxes[0][:2], boxes[0][:2])
         assert j.forecast_id == 1
+
+
+def test_snap_to_prototypes():
+    from futuredet_tpu.eval.linking import Trajectory, snap_to_prototypes
+    # prototype: moves +x 1m per step
+    protos = [[(np.array([2.0, 0.0]), [1.0, 0, 0, 0])]
+              + [np.array([float(t), 0.0, 0.0]) for t in range(1, T)]]
+    boxes = np.stack([_box(0, 0, 2.0, 0.0)] * T)  # static prediction
+    tr = Trajectory(boxes=boxes, scores=np.full(T, 0.9))
+    out = snap_to_prototypes([tr], protos)
+    np.testing.assert_allclose(out[0].boxes[1:, 0], np.arange(1, T),
+                               atol=1e-6)
