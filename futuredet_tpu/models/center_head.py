@@ -34,6 +34,7 @@ class SepHead(nn.Module):
     final_kernel: int = 3
     init_bias: float = -2.19
     forecast_feature: bool = False
+    two_stage: bool = False
     wide_head: bool = False
     in_channels: int = 64
     axis_name: Optional[str] = None
@@ -42,6 +43,7 @@ class SepHead(nn.Module):
     def __call__(self, x, train: bool = False):
         out: Dict[str, jax.Array] = {}
         head_conv = self.in_channels if self.wide_head else self.head_conv
+        head_names = [h for h, _ in self.heads]
 
         if self.forecast_feature:
             # two 3x3 conv+BN+ReLU producing chained features (ref :119-124)
@@ -51,8 +53,24 @@ class SepHead(nn.Module):
                            name="forecast_conv1")(x, train)
             out["feats"] = x
 
+        # two-stage fine-tuning: vel/rot (and rvel/rrot) branches read a
+        # shared adaptation conv (ref :102-117,163-170)
+        shared_fwd = shared_rev = None
+        if self.two_stage and "vel" in head_names and "rot" in head_names:
+            shared_fwd = ConvBNReLU(self.head_conv, 3, 1,
+                                    axis_name=self.axis_name,
+                                    name="two_stage_forecast_conv")(x, train)
+        if self.two_stage and "rvel" in head_names and "rrot" in head_names:
+            shared_rev = ConvBNReLU(self.head_conv, 3, 1,
+                                    axis_name=self.axis_name,
+                                    name="two_stage_reverse_conv")(x, train)
+
         for head, (classes, num_conv) in self.heads:
             h = x
+            if shared_fwd is not None and head in ("vel", "rot"):
+                h = shared_fwd
+            elif shared_rev is not None and head in ("rvel", "rrot"):
+                h = shared_rev
             for i in range(num_conv - 1):
                 h = nn.Conv(head_conv, (self.final_kernel, self.final_kernel),
                             padding="SAME", name=f"{head}_conv{i}")(h)
@@ -115,6 +133,7 @@ class CenterHead(nn.Module):
             rets.append(SepHead(
                 heads=heads, head_conv=share, final_kernel=3,
                 init_bias=c.init_bias, forecast_feature=c.forecast_feature,
-                wide_head=c.wide_head, in_channels=in_ch,
-                axis_name=self.axis_name, name=f"task{i}")(inp, train))
+                two_stage=c.two_stage, wide_head=c.wide_head,
+                in_channels=in_ch, axis_name=self.axis_name,
+                name=f"task{i}")(inp, train))
         return rets

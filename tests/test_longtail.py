@@ -137,3 +137,19 @@ def test_sparse_classify_wide_modes_forward_and_loss():
             })
         losses = center_head_loss(cfg.model.head, preds, {**tg, **extra})
         assert np.isfinite(float(losses["loss"])), mode
+
+
+def test_two_stage_head_has_shared_forecast_conv():
+    import dataclasses
+    import jax
+    from futuredet_tpu.models.detector import build_detector
+    cfg = tiny_cfg(1, False, False)
+    head = dataclasses.replace(cfg.model.head, two_stage=True)
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, head=head))
+    model = build_detector(cfg)
+    pts, valid = rand_points(B=1)
+    variables = model.init(jax.random.PRNGKey(0), pts, valid)
+    names = str(jax.tree_util.tree_structure(variables["params"]))
+    assert "two_stage_forecast_conv" in names
+    preds = model.apply(variables, pts, valid)
+    assert "vel" in preds[0] and "hm" in preds[0]
