@@ -31,7 +31,8 @@ class Scene:
 
 def make_scene(cfg: ExperimentConfig, n_objects: int = 12,
                n_clutter: int = 20000, points_per_object: int = 600,
-               seed: int = 0, max_objs: Optional[int] = None) -> Scene:
+               seed: int = 0, max_objs: Optional[int] = None,
+               speed_range: tuple = (3.0, 10.0)) -> Scene:
     rng = np.random.default_rng(seed)
     T = max(cfg.timesteps, 1)
     M = max_objs or cfg.assigner.max_objs
@@ -51,7 +52,7 @@ def make_scene(cfg: ExperimentConfig, n_objects: int = 12,
         w, l, h = rng.uniform(1.6, 2.2), rng.uniform(3.8, 5.2), rng.uniform(1.4, 1.9)
         yaw = rng.uniform(-np.pi, np.pi)
         kind = rng.choice([STATIC, LINEAR, NONLINEAR], p=[0.4, 0.4, 0.2])
-        speed = 0.0 if kind == STATIC else rng.uniform(3.0, 10.0)
+        speed = 0.0 if kind == STATIC else rng.uniform(*speed_range)
         heading = np.array([np.cos(yaw), np.sin(yaw)])
         turn = 0.0 if kind != NONLINEAR else rng.choice([-1, 1]) * rng.uniform(0.25, 0.5)
 
