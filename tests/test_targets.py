@@ -55,11 +55,11 @@ def test_synthetic_train_decreases_loss_and_localizes():
     gt = batch.pop("gt")
     mesh = make_mesh(2)
     state = init_state(cfg, jax.random.PRNGKey(0),
-                       jax.tree.map(lambda x: x[:1], batch), total_steps=60)
-    step_fn = make_train_step(cfg, mesh, total_steps=60)
+                       jax.tree.map(lambda x: x[:1], batch), total_steps=40)
+    step_fn = make_train_step(cfg, mesh, total_steps=40)
 
     losses = []
-    for i in range(60):
+    for i in range(40):
         state, metrics = step_fn(state, batch)
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
