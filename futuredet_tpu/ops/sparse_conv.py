@@ -92,19 +92,26 @@ def neighbor_table(grid: SparseGrid, dims, kernel: int = 3) -> jax.Array:
     return jnp.where(inb & grid.valid[None, :], pos, V)
 
 
-def subm_conv_apply(features, table, weights, bias=None):
+def subm_conv_apply(features, table, weights, bias=None,
+                    compute_dtype=None):
     """Submanifold conv: features (V, Cin), table (K, V), weights (K, Cin, Cout).
 
     Output defined on the SAME active sites (submanifold semantics,
-    ref spconv SubMConv3d).
+    ref spconv SubMConv3d). compute_dtype=bf16 was measured SLOWER on v5e
+    (241 -> 328 ms full encoder: sub-word gathers cost more than the halved
+    traffic saves), so fp32 is the default; the knob remains for future
+    hardware.
     """
     V, Cin = features.shape
     K = table.shape[0]
-    padded = jnp.concatenate([features, jnp.zeros((1, Cin), features.dtype)], 0)
+    cd = compute_dtype or features.dtype
+    padded = jnp.concatenate(
+        [features.astype(cd), jnp.zeros((1, Cin), cd)], 0)
+    w = weights.astype(cd)
     out = None
     for k in range(K):
         g = padded[table[k]]                               # (V, Cin)
-        acc = g @ weights[k]                               # MXU
+        acc = jnp.dot(g, w[k], preferred_element_type=jnp.float32)
         out = acc if out is None else out + acc
     if bias is not None:
         out = out + bias

@@ -45,7 +45,10 @@ def test_subm_conv_matches_dense_conv_on_active_sites():
     sfeats = feats[order]
     table = SC.neighbor_table(grid, dims)
     out = np.asarray(SC.subm_conv_apply(jnp.asarray(sfeats), table,
-                                        jnp.asarray(W)))
+                                        jnp.asarray(W), compute_dtype=None))
+    out_bf16 = np.asarray(SC.subm_conv_apply(jnp.asarray(sfeats), table,
+                                             jnp.asarray(W)))
+    np.testing.assert_allclose(out_bf16, out, rtol=2e-2, atol=2e-2)
 
     # dense oracle: full 3x3x3 conv, then evaluated AT the active sites only
     dense = _dense_from_sparse(coords, valid, feats, dims)
