@@ -111,6 +111,10 @@ def _accumulate(preds: List[PredRecord], gts: List[GTRecord], dist_th: float,
     gt_by_sample: Dict[str, List[int]] = {}
     for i, g in enumerate(gts):
         gt_by_sample.setdefault(g.sample, []).append(i)
+    # vectorized per-sample GT center blocks (python-level norms per
+    # candidate were the metric engine's hot loop)
+    gt_centers_t = {s: np.stack([gts[i].centers[match_timestep] for i in idx])
+                    for s, idx in gt_by_sample.items()}
     taken = np.zeros(npos, bool)
 
     tp, fp = [], []
@@ -121,16 +125,19 @@ def _accumulate(preds: List[PredRecord], gts: List[GTRecord], dist_th: float,
     for unit in units:
         matched = False
         for p in unit:
-            cand = [i for i in gt_by_sample.get(p.sample, []) if not taken[i]]
-            if not cand:
+            idx = gt_by_sample.get(p.sample)
+            if idx is None:
                 continue
-            d0 = np.array([np.linalg.norm(
-                p.centers[match_timestep] - gts[i].centers[match_timestep])
-                for i in cand])
-            j = int(np.argmin(d0))
-            if d0[j] >= dist_th:
+            free = ~taken[idx]
+            if not free.any():
                 continue
-            gi = cand[j]
+            d_all = np.linalg.norm(
+                gt_centers_t[p.sample] - p.centers[match_timestep], axis=1)
+            d_all = np.where(free, d_all, np.inf)
+            j = int(np.argmin(d_all))
+            if d_all[j] >= dist_th:
+                continue
+            gi = idx[j]
             g = gts[gi]
             if association_oracle:
                 # oracle association (ref --association_oracle,
