@@ -29,11 +29,16 @@ def detections_to_predictions(cfg: ExperimentConfig, det: Detections,
                               classname: str = "car", rerank: str = "last",
                               nogroup: bool = False, jitter: bool = False,
                               jitter_K: int = 1, jitter_C: float = 1.0,
-                              prototypes=None) -> List[PredRecord]:
+                              prototypes=None,
+                              sample_times=None) -> List[PredRecord]:
     """Link each sample's Detections and serialize PredRecords
-    (ref evaluation loop nuscenes.py:752-807)."""
+    (ref evaluation loop nuscenes.py:752-807).
+
+    sample_times: optional per-sample list of (T-1) keyframe gaps in seconds
+    (the reference computes them from sample timestamps, get_time
+    nuscenes.py:57-62); defaults to the nominal 2 Hz spacing."""
     T = cfg.model.head.target_timesteps
-    times = [DT] * (T - 1)
+    default_times = [DT] * (T - 1)
     boxes = np.asarray(det.boxes)
     scores = np.asarray(det.scores)
     labels = np.asarray(det.labels)
@@ -41,6 +46,8 @@ def detections_to_predictions(cfg: ExperimentConfig, det: Detections,
 
     out: List[PredRecord] = []
     for b, tok in enumerate(sample_tokens):
+        times = (list(sample_times[b]) if sample_times is not None
+                 else default_times)
         per_t = split_by_timestep(boxes[b], scores[b], labels[b], valid[b], T)
         trajs = link_sample(classname, forecast_mode, times, per_t)
         if prototypes is not None:
