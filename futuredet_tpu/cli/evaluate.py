@@ -144,6 +144,33 @@ def main(argv=None):
     out_path = args.out or f"metrics_{args.model}_{args.forecast_mode}.json"
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
+
+    # reference CSV layout (ref evaluate.py:34-53,203-209)
+    try:
+        import pandas as pd
+        rows = {"CLASS": [], "mAP": [], "mAR": [], "mFAP": [], "mFAR": [],
+                "mAAP": [], "mAAR": [], "ATE": [], "ASE": [], "AOE": [],
+                "AVE": [], "AAE": [], "ADE": [], "FDE": [], "MR": [],
+                "mFAP_MR": []}
+        key_map = {"ATE": "trans_err", "ASE": "scale_err", "AOE": "orient_err",
+                   "AVE": "vel_err", "AAE": "attr_err", "ADE": "avg_disp_err",
+                   "FDE": "final_disp_err", "MR": "miss_rate"}
+        for cls in summary["mean_dist_aps"]:
+            rows["CLASS"].append(cls)
+            rows["mAP"].append(summary["mean_dist_aps"][cls])
+            rows["mAR"].append(summary["mean_dist_ars"][cls])
+            rows["mFAP"].append(summary["mean_dist_faps"][cls])
+            rows["mFAR"].append(summary["mean_dist_fars"][cls])
+            rows["mAAP"].append(summary["mean_dist_aaps"][cls])
+            rows["mAAR"].append(summary["mean_dist_aars"][cls])
+            rows["mFAP_MR"].append(summary["mean_dist_faps_mr"][cls])
+            for col, key in key_map.items():
+                rows[col].append(summary["label_tp_errors"][cls][key])
+        csv_path = out_path.rsplit(".", 1)[0] + ".csv"
+        pd.DataFrame.from_dict(rows).to_csv(csv_path, index=False)
+        logging.info("metrics CSV written to %s", csv_path)
+    except ImportError:
+        pass
     for cls, v in summary["mean_dist_aps"].items():
         logging.info("%s: mAP %.4f mFAP %.4f mAAP %.4f ADE %.3f FDE %.3f MR %.3f",
                      cls, v, summary["mean_dist_faps"][cls],

@@ -29,3 +29,18 @@ def test_train_then_evaluate_cli_roundtrip(tmp_path, monkeypatch):
     for k in ("mean_dist_faps", "mean_dist_aaps", "mean_dist_faps_mr",
               "label_tp_errors"):
         assert k in doc
+
+
+def test_evaluate_writes_reference_csv(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from futuredet_tpu.cli.evaluate import main as eval_main
+    out = tmp_path / "m.json"
+    eval_main(["--model", "forecast_n0", "--tiny", "--synthetic", "2",
+               "--batch_size", "2", "--forecast_mode", "velocity_constant",
+               "--out", str(out)])
+    import pandas as pd
+    df = pd.read_csv(tmp_path / "m.csv")
+    assert list(df.columns) == ["CLASS", "mAP", "mAR", "mFAP", "mFAR",
+                                "mAAP", "mAAR", "ATE", "ASE", "AOE", "AVE",
+                                "AAE", "ADE", "FDE", "MR", "mFAP_MR"]
+    assert df["CLASS"].tolist() == ["car"]
