@@ -73,29 +73,12 @@ def _yaw_diff(a, b):
     return abs(d)
 
 
-def _accumulate(preds: List[PredRecord], gts: List[GTRecord], dist_th: float,
-                *, use_forecast_score: bool, final_match_th: Optional[float],
-                match_timestep: int = 0, topk: int = 1,
-                association_oracle: bool = False):
-    """Greedy score-ordered matching (nuScenes accumulate()).
-
-    final_match_th: if set, a TP additionally requires final-timestep center
-    distance < final_match_th (forecasting AP).
-    match_timestep: which timestep's centers must match dist_th (for AAP).
-    With topk>1, predictions sharing (sample, forecast_id >= 0) form a group:
-    the group is evaluated once, by its best-matching member among the top-K
-    scored members; remaining members are ignored (multi-future semantics).
-
-    Returns dict with tp/fp cumsums, per-TP errors, npos.
-    """
-    npos = len(gts)
-    if npos == 0:
-        return None
-
-    # Predictions sharing (sample, forecast_id) are ONE multi-future group:
-    # grouping is unconditional (else the many-to-one tracker's extra
-    # trajectories at the same start box all count as FPs); topk controls how
-    # many members of a group may be tried against the GT.
+def _make_units(preds: List[PredRecord], use_forecast_score: bool, topk: int):
+    """Score-sorted evaluation units. Predictions sharing
+    (sample, forecast_id) are ONE multi-future group: grouping is
+    unconditional (else the many-to-one tracker's extra trajectories at the
+    same start box all count as FPs); topk controls how many members of a
+    group may be tried against the GT."""
     key = lambda p: p.forecast_score if use_forecast_score else p.det_score
     groups: Dict[Tuple[str, int], List[PredRecord]] = {}
     singles: List[List[PredRecord]] = []
@@ -107,14 +90,44 @@ def _accumulate(preds: List[PredRecord], gts: List[GTRecord], dist_th: float,
     units = list(groups.values()) + singles
     units = [sorted(u, key=key, reverse=True)[:max(topk, 1)] for u in units]
     units.sort(key=lambda u: key(u[0]), reverse=True)
+    return units, key
 
+
+def _gt_index(gts: List[GTRecord]):
     gt_by_sample: Dict[str, List[int]] = {}
     for i, g in enumerate(gts):
         gt_by_sample.setdefault(g.sample, []).append(i)
-    # vectorized per-sample GT center blocks (python-level norms per
-    # candidate were the metric engine's hot loop)
-    gt_centers_t = {s: np.stack([gts[i].centers[match_timestep] for i in idx])
-                    for s, idx in gt_by_sample.items()}
+    # per-sample (G, T, 2) center blocks for vectorized distances
+    gt_centers = {s: np.stack([gts[i].centers for i in idx])
+                  for s, idx in gt_by_sample.items()}
+    return gt_by_sample, gt_centers
+
+
+def _accumulate(preds: List[PredRecord], gts: List[GTRecord], dist_th: float,
+                *, use_forecast_score: bool, final_match_th: Optional[float],
+                match_timestep: int = 0, topk: int = 1,
+                association_oracle: bool = False, units=None, key=None,
+                gt_index=None):
+    """Greedy score-ordered matching (nuScenes accumulate()).
+
+    final_match_th: if set, a TP additionally requires final-timestep center
+    distance < final_match_th (forecasting AP).
+    match_timestep: which timestep's centers must match dist_th (for AAP).
+    units/key/gt_index: optional precomputed structures (shared across the
+    ~40 threshold/timestep passes by evaluate_forecasts).
+
+    Returns dict with tp/fp cumsums, per-TP errors, npos.
+    """
+    npos = len(gts)
+    if npos == 0:
+        return None
+
+    if units is None or key is None:
+        units, key = _make_units(preds, use_forecast_score, topk)
+    if gt_index is None:
+        gt_index = _gt_index(gts)
+    gt_by_sample, gt_centers = gt_index
+    gt_centers_t = {s: c[:, match_timestep] for s, c in gt_centers.items()}
     taken = np.zeros(npos, bool)
 
     tp, fp = [], []
@@ -292,18 +305,25 @@ def evaluate_forecasts(preds: List[PredRecord], gts: List[GTRecord],
         cls_gts = [g for g in gts if gt_class(g) == cls]
         cls_preds = [p for p in preds if cls in pred_classes(p)]
 
+        # precomputed structures shared across all ~40 passes of this class
+        units_det, key_det = _make_units(cls_preds, False, topk)
+        units_fc, key_fc = _make_units(cls_preds, True, topk)
+        gt_index = _gt_index(cls_gts) if cls_gts else None
+
         ap_list, ar_list, fap_list, far_list = [], [], [], []
         aap_list, aar_list, fapmr_list = [], [], []
         for th in DIST_THRESHOLDS:
             acc = _accumulate(cls_preds, cls_gts, th, use_forecast_score=False,
-                              final_match_th=None)
+                              final_match_th=None, units=units_det,
+                              key=key_det, gt_index=gt_index)
             ap, ar = _calc_ap(acc)
             ap_list.append(ap)
             ar_list.append(ar)
 
             facc = _accumulate(cls_preds, cls_gts, th, use_forecast_score=True,
                                final_match_th=th, topk=topk,
-                               association_oracle=association_oracle)
+                               association_oracle=association_oracle,
+                               units=units_fc, key=key_fc, gt_index=gt_index)
             fap, far = _calc_ap(facc)
             fap_list.append(fap)
             far_list.append(far)
@@ -311,7 +331,8 @@ def evaluate_forecasts(preds: List[PredRecord], gts: List[GTRecord],
             fmracc = _accumulate(cls_preds, cls_gts, th,
                                  use_forecast_score=True,
                                  final_match_th=MR_THRESH, topk=topk,
-                                 association_oracle=association_oracle)
+                                 association_oracle=association_oracle,
+                                 units=units_fc, key=key_fc, gt_index=gt_index)
             fapmr_list.append(_calc_ap(fmracc)[0])
 
             taps, tars = [], []
@@ -319,7 +340,8 @@ def evaluate_forecasts(preds: List[PredRecord], gts: List[GTRecord],
                 tacc = _accumulate(cls_preds, cls_gts, th,
                                    use_forecast_score=True,
                                    final_match_th=None, match_timestep=t,
-                                   topk=topk)
+                                   topk=topk, units=units_fc, key=key_fc,
+                                   gt_index=gt_index)
                 a, r = _calc_ap(tacc)
                 taps.append(a)
                 tars.append(r)
@@ -336,7 +358,8 @@ def evaluate_forecasts(preds: List[PredRecord], gts: List[GTRecord],
 
         acc_tp = _accumulate(cls_preds, cls_gts, TP_DIST,
                              use_forecast_score=True, final_match_th=None,
-                             topk=topk)
+                             topk=topk, units=units_fc, key=key_fc,
+                             gt_index=gt_index)
         tp_errors[cls] = _calc_tp_errors(acc_tp, tp_pct)
 
     return EvalResult(aps, ars, faps, fars, aaps, aars, faps_mr, tp_errors)
