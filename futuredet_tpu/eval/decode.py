@@ -123,14 +123,26 @@ def decode_and_nms(cfg: ExperimentConfig,
     else:
         _nms = rotate_nms
 
-    def one(b, s, v):
-        sel, _ = _nms(
-            b[:, [0, 1, 2, 3, 4, 5, 8]], s, v,
-            iou_threshold=tc.nms.iou_threshold,
-            pre_max=tc.nms.pre_max_size, post_max=tc.nms.post_max_size)
-        keep = sel >= 0
-        idx = jnp.maximum(sel, 0)
-        return b[idx], s[idx], keep
+    if tc.circular_nms:
+        # center-distance suppression (ref center_head.py:725-728)
+        from ..ops.nms import circle_nms
+
+        def one(b, s, v):
+            sel, _ = circle_nms(b[:, :2], s, v,
+                                min_radius=float(tc.min_radius[0]),
+                                post_max=tc.nms.post_max_size)
+            keep = sel >= 0
+            idx = jnp.maximum(sel, 0)
+            return b[idx], s[idx], keep
+    else:
+        def one(b, s, v):
+            sel, _ = _nms(
+                b[:, [0, 1, 2, 3, 4, 5, 8]], s, v,
+                iou_threshold=tc.nms.iou_threshold,
+                pre_max=tc.nms.pre_max_size, post_max=tc.nms.post_max_size)
+            keep = sel >= 0
+            idx = jnp.maximum(sel, 0)
+            return b[idx], s[idx], keep
 
     bb, ss, kk = jax.vmap(jax.vmap(one))(boxes, scores, ok)  # (T, B, post, ...)
     labels = jnp.broadcast_to(

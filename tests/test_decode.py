@@ -102,3 +102,19 @@ def test_decode_range_mask():
     preds[0]["hm"] = preds[0]["hm"].at[0, 2, 2, 0].set(10.0)  # far corner cell
     det = decode_and_nms(cfg, preds)
     assert np.asarray(det.valid).sum() == 0
+
+
+def test_decode_circular_nms_option():
+    import dataclasses
+    cfg = tiny_cfg(1, False, False)
+    cfg = cfg.replace(test=dataclasses.replace(cfg.test, circular_nms=True,
+                                               min_radius=(1.0,)))
+    preds = _blank_preds(cfg)
+    # two peaks 0.5m apart (cells are 0.5m here) -> circle NMS keeps one
+    preds[0]["hm"] = preds[0]["hm"].at[0, 10, 10, 0].set(10.0)
+    preds[0]["hm"] = preds[0]["hm"].at[0, 10, 11, 0].set(5.0)
+    det = decode_and_nms(cfg, preds)
+    v = np.asarray(det.valid)[0]
+    lbl = np.asarray(det.labels)[0][v]
+    for t in range(7):
+        assert (lbl == t).sum() == 1
