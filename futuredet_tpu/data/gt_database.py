@@ -33,9 +33,9 @@ def _points_in_box_np(points, box):
     # stored yaw is -yaw-pi/2; physical heading = -(stored)-pi/2
     yaw = -box[10] - np.pi / 2
     c, s = np.cos(yaw), np.sin(yaw)
-    lx = c * d[:, 0] + s * d[:, 1]
-    ly = -s * d[:, 0] + c * d[:, 1]
-    return ((np.abs(ly) <= box[4] / 2) & (np.abs(lx) <= box[3] / 2)
+    lx = c * d[:, 0] + s * d[:, 1]    # along heading -> length (box[4])
+    ly = -s * d[:, 0] + c * d[:, 1]   # lateral       -> width  (box[3])
+    return ((np.abs(lx) <= box[4] / 2) & (np.abs(ly) <= box[3] / 2)
             & (np.abs(d[:, 2]) <= box[5] / 2))
 
 

@@ -81,7 +81,7 @@ def make_scene(cfg: ExperimentConfig, n_objects: int = 12,
                                      np.full((face == 2).sum(), 0.5)], -1)
         local[face == 3] = np.stack([u[face == 3],
                                      np.full((face == 3).sum(), -0.5)], -1)
-        local *= np.array([w, l])
+        local *= np.array([l, w])  # local x rotates onto the heading -> length
         c0, s0 = np.cos(yaw), np.sin(yaw)
         world = local @ np.array([[c0, s0], [-s0, c0]])
         world += np.array([cx, cy])

@@ -181,3 +181,19 @@ def test_dataset_with_gtaug_sampler(tmp_path):
     s = ds.sample(0)
     # pasted objects on top of the scene's 2 real cars
     assert s["gt_valid"][0].sum() > 2
+
+
+def test_points_in_box_crop_geometry():
+    from futuredet_tpu.data.gt_database import _points_in_box_np
+    # physical heading 0 (stored rot = -pi/2): length 4.5 along +x, width 2
+    box = np.zeros(12, np.float32)
+    box[3:6] = [2.0, 4.5, 1.6]
+    box[10] = -np.pi / 2
+    pts = np.array([
+        [2.0, 0.0, 0.0],   # 2m ahead: within l/2=2.25 -> in
+        [0.0, 2.0, 0.0],   # 2m lateral: beyond w/2=1 -> out
+        [0.0, 0.9, 0.0],   # 0.9m lateral -> in
+        [2.5, 0.0, 0.0],   # beyond nose -> out
+    ], np.float32)
+    got = _points_in_box_np(pts, box)
+    assert got.tolist() == [True, False, True, False]
