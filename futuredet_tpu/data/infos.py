@@ -28,7 +28,12 @@ from .nuscenes_tables import (NuScenesTables, detection_name, quat_inverse,
 def _ann_box_in_lidar(nusc: NuScenesTables, ann: dict, pose_rec: dict,
                       cs_rec: dict):
     """Global annotation -> (center, yaw, vel_xy) in the reference lidar frame
-    (devkit Box.translate/rotate sequence, ref nusc_common.py:353-365)."""
+    (devkit Box.translate/rotate sequence, ref nusc_common.py:353-365).
+
+    Yaw composes the z-heading of each rotation additively — exact for pure-z
+    rotations; nuScenes ego poses carry sub-degree roll/pitch, so the yaw
+    error is bounded by that (centers/velocities use the full 3D rotations).
+    """
     r_pose_inv = quat_to_rot(quat_inverse(pose_rec["rotation"]))
     r_cs_inv = quat_to_rot(quat_inverse(cs_rec["rotation"]))
     center = np.asarray(ann["translation"], float)

@@ -80,7 +80,9 @@ def tracker(classname: str, times: Sequence[float], per_t) -> List[Trajectory]:
 
     def chains(seq, seq_times, extrapolate_sign):
         """Greedy per-step association of consecutive sets; returns index
-        chains starting from every box of seq[0] (ref :141-179, :195-234)."""
+        chains starting from every box of seq[0], or None when any timestep
+        is empty (the reference aborts the WHOLE tracker in that case,
+        ref :158-159, :212-213)."""
         idx_steps, dist_steps = [], []
         for t in range(T - 1):
             cur_b, _ = seq[t]
@@ -92,7 +94,7 @@ def tracker(classname: str, times: Sequence[float], per_t) -> List[Trajectory]:
             idx_steps.append(np.argmin(d, axis=1))
             dist_steps.append(np.min(d, axis=1))
         if len(idx_steps) != T - 1:
-            return []
+            return None
         out = []
         n0 = len(seq[0][0])
         for i in range(n0):
@@ -107,8 +109,12 @@ def tracker(classname: str, times: Sequence[float], per_t) -> List[Trajectory]:
         return out
 
     if classname in ("car", "pedestrian"):
-        # forward chains
-        for chain in chains(per_t, list(times), +1.0):
+        # forward chains; an empty timestep aborts the whole tracker
+        # (ref :158-159 returns [] before the fallbacks run)
+        fwd = chains(per_t, list(times), +1.0)
+        if fwd is None:
+            return []
+        for chain in fwd:
             trajs.append(Trajectory(
                 boxes=np.stack([per_t[t][0][j] for t, j in enumerate(chain)]),
                 scores=np.array([per_t[t][1][j] for t, j in enumerate(chain)])))
@@ -129,7 +135,10 @@ def tracker(classname: str, times: Sequence[float], per_t) -> List[Trajectory]:
         # backcast chains: associate backwards from the future (ref :194-234)
         rev = per_t[::-1]
         rev_times = list(times)[::-1]
-        for chain in chains(rev, rev_times, -1.0):
+        bwd = chains(rev, rev_times, -1.0)
+        if bwd is None:
+            return []
+        for chain in bwd:
             boxes = [rev[t][0][j] for t, j in enumerate(chain)][::-1]
             scores = [rev[t][1][j] for t, j in enumerate(chain)][::-1]
             trajs.append(Trajectory(boxes=np.stack(boxes),
