@@ -70,3 +70,14 @@ def test_train_step_dense_forecast_mode():
     state, metrics = step_fn(state, batch)
     assert np.isfinite(float(metrics["loss"]))
     assert metrics["hm_loss"].shape == (7,)
+
+
+def test_train_step_voxelnet_sparse_2dev():
+    cfg = tiny_cfg(1, False, False, detector="voxelnet")
+    mesh = make_mesh(2)
+    batch = _batch(cfg, 2)
+    state = init_state(cfg, jax.random.PRNGKey(0),
+                       jax.tree.map(lambda x: x[:1], batch), total_steps=10)
+    step_fn = make_train_step(cfg, mesh, total_steps=10)
+    state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
