@@ -33,6 +33,19 @@ def read_lidar_bin(path: str, num_features: int = 5) -> np.ndarray:
     return np.fromfile(path, dtype=np.float32).reshape(-1, 5)[:, :num_features]
 
 
+def read_painted(path: str) -> np.ndarray:
+    """Segmentation-painted points (ref loading.py:24-29): a .npy next to the
+    sweep under a `painted_` directory, ring index dropped, 14 features."""
+    import os
+    dir_path = os.path.join(*path.split("/")[:-2],
+                            "painted_" + path.split("/")[-2])
+    if path.startswith("/"):
+        dir_path = "/" + dir_path
+    painted_path = os.path.join(dir_path, path.split("/")[-1] + ".npy")
+    pts = np.load(painted_path)
+    return pts[:, [0, 1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14]]
+
+
 def remove_close(points: np.ndarray, radius: float = 1.0) -> np.ndarray:
     """ref loading.py:36-45 (points row-major here)."""
     keep = ~((np.abs(points[:, 0]) < radius) & (np.abs(points[:, 1]) < radius))
@@ -40,13 +53,16 @@ def remove_close(points: np.ndarray, radius: float = 1.0) -> np.ndarray:
 
 
 def aggregate_sweeps(info: dict, nsweeps: int, num_features: int = 5,
-                     seed: int = 0, use_native: bool = True) -> np.ndarray:
+                     seed: int = 0, use_native: bool = True,
+                     painted: bool = False) -> np.ndarray:
     """Load the keyframe + (nsweeps-1) transformed sweeps with a time-lag
     column (ref loading.py:112-140). Returns (P, num_features+1).
 
     Uses the threaded C++ loader (utils.native) when available; numpy
     fallback otherwise (identical output, order differs only by the
     per-sweep concat which is preserved)."""
+    if painted:
+        use_native = False  # painted .npy path is python-only
     if use_native:
         from ..utils import native
         if native.available():
@@ -66,7 +82,9 @@ def aggregate_sweeps(info: dict, nsweeps: int, num_features: int = 5,
                 file_feats=5, keep_feats=num_features)
             if out is not None:
                 return out
-    points = read_lidar_bin(str(info["lidar_path"]), num_features)
+    reader = read_painted if painted else (
+        lambda p: read_lidar_bin(p, num_features))
+    points = reader(str(info["lidar_path"]))
     sweep_pts = [points]
     sweep_times = [np.zeros((points.shape[0], 1), np.float32)]
     rng = np.random.default_rng(seed)
@@ -74,7 +92,7 @@ def aggregate_sweeps(info: dict, nsweeps: int, num_features: int = 5,
     take = rng.choice(n, min(nsweeps - 1, n), replace=False)
     for i in take:
         sweep = info["sweeps"][i]
-        p = read_lidar_bin(str(sweep["lidar_path"]), num_features).T
+        p = reader(str(sweep["lidar_path"])).T
         p = remove_close(p.T, 1.0).T
         tm = sweep.get("transform_matrix")
         if tm is not None:
@@ -151,9 +169,10 @@ class NuScenesForecastDataset:
 
     def __init__(self, cfg: ExperimentConfig, info_path: str,
                  train: bool = True, class_balanced: bool = True,
-                 seed: int = 0, db_sampler=None):
+                 seed: int = 0, db_sampler=None, painted: bool = False):
         self.cfg = cfg
         self.train = train
+        self.painted = painted  # segmentation-painted 14-feature points
         self.db_sampler = db_sampler  # GT-AUG (data.gt_database.DataBaseSampler)
         self.rng = np.random.default_rng(seed)
         with open(info_path, "rb") as f:
@@ -196,7 +215,7 @@ class NuScenesForecastDataset:
     def sample(self, idx: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         info = self.infos[idx]
-        pts = aggregate_sweeps(info, cfg.data.nsweeps)
+        pts = aggregate_sweeps(info, cfg.data.nsweeps, painted=self.painted)
         gt_boxes, gt_cls, gt_valid, gt_traj = pack_gt(
             cfg, info.get("gt_boxes", []), info.get("gt_names", []),
             info.get("gt_trajectory", []), cfg.data.class_names)

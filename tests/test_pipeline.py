@@ -86,3 +86,19 @@ def test_batches_from_dataset_shapes(tmp_path):
     assert b["points"].shape[0] == 2
     assert b["targets"]["hm"].shape[0] == 2
     assert len(b["tokens"]) == 2
+
+
+def test_painted_points_reader(tmp_path):
+    import os
+    rng = np.random.default_rng(0)
+    os.makedirs(tmp_path / "painted_LIDAR_TOP", exist_ok=True)
+    os.makedirs(tmp_path / "LIDAR_TOP", exist_ok=True)
+    raw = tmp_path / "LIDAR_TOP" / "pc0.bin"
+    np.zeros((10, 5), np.float32).tofile(raw)
+    painted = rng.normal(size=(10, 15)).astype(np.float32)
+    np.save(tmp_path / "painted_LIDAR_TOP" / "pc0.bin.npy", painted)
+    out = PL.read_painted(str(raw))
+    assert out.shape == (10, 14)
+    # ring index (col 4) dropped
+    np.testing.assert_allclose(out[:, 3], painted[:, 3])
+    np.testing.assert_allclose(out[:, 4], painted[:, 5])
