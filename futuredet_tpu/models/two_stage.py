@@ -87,6 +87,64 @@ class TwoStageRefiner(nn.Module):
         return refined, jax.nn.sigmoid(score)
 
 
+def proposal_targets(proposals, gt_boxes, gt_valid, *,
+                     fg_iou: float = 0.55, bg_iou: float = 0.25):
+    """IoU-based proposal target assignment (capability port of
+    `det3d/models/roi_heads/target_assigner/proposal_target_layer.py`):
+    each proposal's classification target is its clipped-scaled IoU with the
+    best GT (pcdet soft-IoU labels), and foreground proposals get box
+    residual targets.
+
+    proposals (N, 9) decoded layout; gt_boxes (M, 12) info layout.
+    Returns (cls_target (N,), reg_target (N, 7), fg_mask (N,)).
+    """
+    from ..ops.rotated_iou import pairwise_iou_bev
+
+    p5 = jnp.stack([proposals[:, 0], proposals[:, 1], proposals[:, 4],
+                    proposals[:, 3], -proposals[:, 8] - np.pi / 2], -1)
+    g5 = jnp.stack([gt_boxes[:, 0], gt_boxes[:, 1], gt_boxes[:, 4],
+                    gt_boxes[:, 3], -gt_boxes[:, 10] - np.pi / 2], -1)
+    iou = pairwise_iou_bev(p5, g5)
+    iou = jnp.where(gt_valid[None, :], iou, 0.0)
+    best = jnp.argmax(iou, axis=1)
+    best_iou = jnp.max(iou, axis=1)
+
+    # soft classification target: 0 below bg, 1 above fg, linear between
+    cls_t = jnp.clip((best_iou - bg_iou) / (fg_iou - bg_iou), 0.0, 1.0)
+    fg = best_iou >= fg_iou
+
+    g = gt_boxes[best]
+    reg_t = jnp.stack([
+        g[:, 0] - proposals[:, 0], g[:, 1] - proposals[:, 1],
+        g[:, 2] - proposals[:, 2],
+        jnp.log(jnp.maximum(g[:, 3], 1e-3) / jnp.maximum(proposals[:, 3], 1e-3)),
+        jnp.log(jnp.maximum(g[:, 4], 1e-3) / jnp.maximum(proposals[:, 4], 1e-3)),
+        jnp.log(jnp.maximum(g[:, 5], 1e-3) / jnp.maximum(proposals[:, 5], 1e-3)),
+        g[:, 10] - proposals[:, 8],
+    ], -1)
+    return cls_t, reg_t, fg
+
+
+def two_stage_loss(score_logits, resid, proposals, gt_boxes, gt_valid,
+                   prop_valid):
+    """RoI head loss: BCE against soft-IoU targets + masked smooth-L1 on
+    foreground residuals (ref roi_heads/roi_head.py loss structure)."""
+    cls_t, reg_t, fg = jax.vmap(
+        lambda p, g, v: proposal_targets(p, g, v))(proposals, gt_boxes,
+                                                   gt_valid)
+    w = prop_valid.astype(score_logits.dtype)
+    cls_loss = jnp.sum(
+        w * (jnp.maximum(score_logits, 0) - score_logits * cls_t
+             + jnp.log1p(jnp.exp(-jnp.abs(score_logits))))
+    ) / jnp.maximum(jnp.sum(w), 1.0)
+    fgw = (fg & prop_valid).astype(resid.dtype)[..., None]
+    d = resid - reg_t
+    sl1 = jnp.where(jnp.abs(d) < 1.0, 0.5 * d * d, jnp.abs(d) - 0.5)
+    reg_loss = jnp.sum(sl1 * fgw) / jnp.maximum(jnp.sum(fgw), 1.0)
+    return {"roi_cls_loss": cls_loss, "roi_reg_loss": reg_loss,
+            "loss": cls_loss + reg_loss}
+
+
 def two_stage_trainable_mask(params) -> dict:
     """Trainable mask for the TWO_STAGE schedule: only vel/rot branches train
     (ref apis/train.py:353-356 freezes everything else)."""

@@ -153,3 +153,30 @@ def test_two_stage_head_has_shared_forecast_conv():
     assert "two_stage_forecast_conv" in names
     preds = model.apply(variables, pts, valid)
     assert "vel" in preds[0] and "hm" in preds[0]
+
+
+def test_proposal_targets_and_two_stage_loss():
+    from futuredet_tpu.models.two_stage import proposal_targets, two_stage_loss
+    # one perfect proposal, one background proposal
+    gt = np.zeros((1, 2, 12), np.float32)
+    gt[0, 0] = [5, 5, 0, 2, 4.5, 1.6, 0, 0, 0, 0, -np.pi / 2, -np.pi / 2]
+    gt_valid = np.array([[True, False]])
+    props = np.zeros((1, 2, 9), np.float32)
+    props[0, 0] = [5, 5, 0, 2, 4.5, 1.6, 0, 0, -np.pi / 2]   # == gt
+    props[0, 1] = [50, 50, 0, 2, 4.5, 1.6, 0, 0, -np.pi / 2]  # far away
+    cls_t, reg_t, fg = proposal_targets(jnp.asarray(props[0]),
+                                        jnp.asarray(gt[0]),
+                                        jnp.asarray(gt_valid[0]))
+    assert float(cls_t[0]) == 1.0 and float(cls_t[1]) == 0.0
+    assert bool(fg[0]) and not bool(fg[1])
+    np.testing.assert_allclose(np.asarray(reg_t[0]), 0.0, atol=1e-5)
+
+    logits = jnp.asarray(np.array([[5.0, -5.0]], np.float32))  # confident
+    resid = jnp.zeros((1, 2, 7))
+    losses = two_stage_loss(logits, resid, jnp.asarray(props),
+                            jnp.asarray(gt), jnp.asarray(gt_valid),
+                            jnp.ones((1, 2), bool))
+    assert float(losses["loss"]) < 0.1   # near-perfect predictions
+    bad = two_stage_loss(-logits, resid, jnp.asarray(props), jnp.asarray(gt),
+                         jnp.asarray(gt_valid), jnp.ones((1, 2), bool))
+    assert float(bad["loss"]) > float(losses["loss"])
