@@ -44,6 +44,8 @@ def train(cfg: ExperimentConfig, batches: Iterable[dict], *,
           steps_per_epoch: int, work_dir: Optional[str] = None,
           n_devices: Optional[int] = None,
           resume: bool = False,
+          val_fn: Optional[Callable[[TrainState], dict]] = None,
+          prefetch_depth: int = 2,
           log_fn: Callable[[str], None] = log.info) -> TrainState:
     """Run the full schedule over `batches` (an infinite batch iterator whose
     leaves lead with the global batch dim)."""
@@ -51,7 +53,9 @@ def train(cfg: ExperimentConfig, batches: Iterable[dict], *,
 
     total_steps = steps_per_epoch * cfg.train.total_epochs
 
-    it = iter(batches)
+    from ..data.prefetch import prefetch
+    it = prefetch(iter(batches), depth=prefetch_depth) \
+        if prefetch_depth > 0 else iter(batches)
     first = next(it)
     if n_devices is None:
         # mesh size must divide the global batch
@@ -93,6 +97,11 @@ def train(cfg: ExperimentConfig, batches: Iterable[dict], *,
             t_data = t_step = 0.0
 
         epoch_end = (step + 1) % steps_per_epoch == 0
+        if epoch_end and val_fn is not None:
+            # per-epoch validation phase (ref Trainer.val, workflow states)
+            val_metrics = val_fn(state)
+            log_fn("val @ epoch %d: %s" % ((step + 1) // steps_per_epoch,
+                                           val_metrics))
         if epoch_end and ckpt:
             epoch = (step + 1) // steps_per_epoch
             if epoch % cfg.train.checkpoint_interval_epochs == 0:

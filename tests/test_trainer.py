@@ -46,3 +46,37 @@ def test_trainer_runs_checkpoints_and_resumes(tmp_path):
                    work_dir=str(tmp_path / "ckpt"), n_devices=2, resume=True,
                    log_fn=lines.append)
     assert int(state2.step) == 6
+
+
+def test_prefetch_iterator_preserves_order_and_errors():
+    from futuredet_tpu.data.prefetch import prefetch
+
+    out = list(prefetch(iter(range(20)), depth=3))
+    assert out == list(range(20))
+
+    def boom():
+        yield 1
+        raise ValueError("io failed")
+
+    it = prefetch(boom(), depth=2)
+    assert next(it) == 1
+    import pytest
+    with pytest.raises(ValueError):
+        next(it)
+
+
+def test_trainer_val_hook(tmp_path):
+    import itertools
+    from futuredet_tpu.data.synthetic import make_batch
+    from futuredet_tpu.train.trainer import train
+    cfg = tiny_cfg(1, False, False)
+    cfg = cfg.replace(train=cfg.train.__class__(
+        total_epochs=2, optim=cfg.train.optim, seed=0, log_interval=10,
+        checkpoint_interval_epochs=1))
+    batch = make_batch(cfg, 2, seed=0, n_objects=3, n_clutter=300, max_objs=16)
+    batch.pop("gt")
+    calls = []
+    train(cfg, itertools.repeat(batch), steps_per_epoch=2, n_devices=2,
+          val_fn=lambda s: calls.append(int(s.step)) or {"ok": 1},
+          log_fn=lambda m: None)
+    assert calls == [2, 4]
