@@ -24,7 +24,23 @@ TARGET_SWEEPS_PER_SEC = 440.0
 NSWEEPS = 20
 
 
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache — repeat runs skip the multi-minute
+    compile (harmless no-op where unsupported)."""
+    import os
+    try:
+        import jax
+        d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
 def main():
+    _enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from futuredet_tpu.config import get_config
