@@ -23,6 +23,25 @@ from .step import TrainState, init_state, make_train_step
 log = logging.getLogger("futuredet_tpu")
 
 
+class Hook:
+    """Minimal training-hook protocol (ref torchie hook registry,
+    det3d/torchie/trainer/hooks/hook.py — 13 events reduced to the 4 the
+    loop actually fires). Subclass and override what you need; hooks run in
+    registration order."""
+
+    def before_step(self, step: int, state, batch):
+        pass
+
+    def after_step(self, step: int, state, metrics):
+        pass
+
+    def after_epoch(self, epoch: int, state):
+        pass
+
+    def after_train(self, state):
+        pass
+
+
 class MetricBuffer:
     """ref torchie LogBuffer: windowed averaging for log lines."""
 
@@ -46,6 +65,7 @@ def train(cfg: ExperimentConfig, batches: Iterable[dict], *,
           resume: bool = False,
           val_fn: Optional[Callable[[TrainState], dict]] = None,
           prefetch_depth: int = 2,
+          hooks: Optional[list] = None,
           log_fn: Callable[[str], None] = log.info) -> TrainState:
     """Run the full schedule over `batches` (an infinite batch iterator whose
     leaves lead with the global batch dim)."""
@@ -83,10 +103,14 @@ def train(cfg: ExperimentConfig, batches: Iterable[dict], *,
             batch = next(it)
         t_data += time.perf_counter() - td
 
+        for h in (hooks or ()):
+            h.before_step(step, state, batch)
         ts = time.perf_counter()
         state, metrics = step_fn(state, batch)
         t_step += time.perf_counter() - ts
         buf.push({"loss": metrics["loss"]})
+        for h in (hooks or ()):
+            h.after_step(step, state, metrics)
 
         if (step + 1) % cfg.train.log_interval == 0:
             m = buf.mean_and_clear()
@@ -102,10 +126,15 @@ def train(cfg: ExperimentConfig, batches: Iterable[dict], *,
             val_metrics = val_fn(state)
             log_fn("val @ epoch %d: %s" % ((step + 1) // steps_per_epoch,
                                            val_metrics))
+        if epoch_end:
+            for h in (hooks or ()):
+                h.after_epoch((step + 1) // steps_per_epoch, state)
         if epoch_end and ckpt:
             epoch = (step + 1) // steps_per_epoch
             if epoch % cfg.train.checkpoint_interval_epochs == 0:
                 ckpt.save(step + 1, jax.device_get(state),
                           {"config": cfg.name, "epoch": epoch})
                 log_fn(f"checkpoint @ step {step + 1} (epoch {epoch})")
+    for h in (hooks or ()):
+        h.after_train(state)
     return state

@@ -80,3 +80,37 @@ def test_trainer_val_hook(tmp_path):
           val_fn=lambda s: calls.append(int(s.step)) or {"ok": 1},
           log_fn=lambda m: None)
     assert calls == [2, 4]
+
+
+def test_trainer_hooks_fire():
+    import itertools
+    from futuredet_tpu.data.synthetic import make_batch
+    from futuredet_tpu.train.trainer import Hook, train
+
+    class Rec(Hook):
+        def __init__(self):
+            self.events = []
+
+        def before_step(self, step, state, batch):
+            self.events.append(("before", step))
+
+        def after_step(self, step, state, metrics):
+            self.events.append(("after", step))
+
+        def after_epoch(self, epoch, state):
+            self.events.append(("epoch", epoch))
+
+        def after_train(self, state):
+            self.events.append(("done", int(state.step)))
+
+    cfg = tiny_cfg(1, False, False)
+    cfg = cfg.replace(train=cfg.train.__class__(
+        total_epochs=1, optim=cfg.train.optim, seed=0, log_interval=10,
+        checkpoint_interval_epochs=1))
+    batch = make_batch(cfg, 2, seed=0, n_objects=3, n_clutter=300, max_objs=16)
+    batch.pop("gt")
+    h = Rec()
+    train(cfg, itertools.repeat(batch), steps_per_epoch=2, n_devices=2,
+          hooks=[h], log_fn=lambda m: None)
+    assert ("before", 0) in h.events and ("after", 1) in h.events
+    assert ("epoch", 1) in h.events and ("done", 2) in h.events
