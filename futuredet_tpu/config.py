@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 
 def _t(x) -> tuple:
@@ -48,7 +48,14 @@ class HeadSpec:
 
 @dataclass(frozen=True)
 class HeadConfig:
-    """CenterHead mode flags + shapes (ref: center_head.py:233-334)."""
+    """CenterHead mode flags + shapes (ref: center_head.py:233-334).
+
+    tasks: one class group per SepHead. The forecast pipeline (like every
+    shipped reference config, SURVEY.md §2.8) uses a single single-class
+    group — the reference's own predict() label bookkeeping is only coherent
+    in that regime because pseudo-task labels are overloaded with the
+    timestep index (ref center_head.py:566,686-690).
+    """
     tasks: Tuple[Tuple[str, ...], ...] = (("car",),)
     in_channels: int = 512
     share_conv_channel: int = 64

@@ -13,8 +13,6 @@ Host-side numpy; applied before voxelization like the reference pipeline.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import numpy as np
 
 

@@ -16,11 +16,10 @@ from __future__ import annotations
 
 import pickle
 from functools import reduce
-from typing import Dict, List, Optional, Tuple
+from typing import List
 
 import numpy as np
 
-from ..core.trajectory import TRAJECTORY_NAMES
 from .nuscenes_tables import (NuScenesTables, detection_name, quat_inverse,
                               quat_to_rot, quat_yaw, transform_matrix)
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import json
 import os
 from functools import cached_property
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

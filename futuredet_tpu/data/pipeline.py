@@ -16,8 +16,7 @@ Target rasterization happens ON DEVICE (data.targets) — the reference's
 from __future__ import annotations
 
 import pickle
-from pathlib import Path
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, Sequence
 
 import numpy as np
 

@@ -9,7 +9,7 @@ renders lidar-like point clouds (points on box walls + ground clutter).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -18,7 +18,7 @@ GT layout in: gt_boxes (T, M, 12) [x,y,z,w,l,h,vx,vy,rvx,rvy,rot,rrot]
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

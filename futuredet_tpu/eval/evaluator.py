@@ -9,15 +9,15 @@ multi-futures, re-ranks, and feeds the metric engine (eval.metrics).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 
 from ..config import ExperimentConfig
 from ..core.trajectory import TRAJECTORY_NAMES
 from .decode import Detections
-from .linking import (Trajectory, link_sample, multi_future,
-                      split_by_timestep, trajectory_score)
+from .linking import (link_sample, multi_future, split_by_timestep,
+                      trajectory_score)
 from .metrics import EvalResult, GTRecord, PredRecord, evaluate_forecasts
 
 DT = 0.5

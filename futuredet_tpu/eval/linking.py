@@ -15,8 +15,8 @@ Host-side numpy (post-NMS sets are <=83 boxes x 7 timesteps).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import List, Sequence
 
 import numpy as np
 

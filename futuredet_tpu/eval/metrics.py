@@ -30,7 +30,7 @@ All inputs are plain numpy; this runs host-side after device decode+linking.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -7,13 +7,13 @@ BatchNorm(eps 1e-3) with optional cross-device sync via axis_name.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import BN_EPS, BN_MOMENTUM, ConvBNReLU, DeconvBNReLU
+from .layers import ConvBNReLU, DeconvBNReLU
 
 
 class RPN(nn.Module):

@@ -8,7 +8,7 @@ feature maps are NHWC.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -8,10 +8,9 @@ Cross-device BatchNorm sync (the reference's APEX syncBN,
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Optional
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 BN_EPS = 1e-3
 BN_MOMENTUM = 0.99  # == torch momentum 0.01

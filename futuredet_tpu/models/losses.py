@@ -16,7 +16,7 @@ Trajectory / forecast target variants share the same shapes with C=3 / C=7.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -12,16 +12,15 @@ computed once per stage and shared by all submanifold convs of that stage
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.sparse_conv import (SparseGrid, downsample_coords, make_grid,
-                               neighbor_table, scatter_dense,
-                               strided_gather_table, subm_conv_apply)
-from .layers import BN_EPS, BN_MOMENTUM
+from ..ops.sparse_conv import (downsample_coords, make_grid, neighbor_table,
+                               scatter_dense, strided_gather_table,
+                               subm_conv_apply)
 from .readers import MaskedBatchNorm
 
 

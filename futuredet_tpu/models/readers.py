@@ -18,7 +18,7 @@ TPU-first redesign of the reference readers:
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

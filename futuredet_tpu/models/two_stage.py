@@ -14,8 +14,6 @@ apis/train.py:353-356) lives in `two_stage_trainable_mask`.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

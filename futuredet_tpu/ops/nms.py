@@ -15,8 +15,6 @@ the sequential-greedy semantics of the CUDA kernel, fixed at `pre_max` boxes.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -65,18 +63,16 @@ def rotate_nms(boxes, scores, valid, *, iou_threshold: float,
 
 @partial(jax.jit, static_argnames=("post_max",))
 def circle_nms(centers, scores, valid, *, min_radius: float, post_max: int = 83):
-    """Center-distance greedy suppression (ref circle_nms_jit.py).
-
-    centers (N,2); suppress j if dist2(i,j) < min_radius (ref uses thresh on
-    squared distance? — the numba kernel compares dist2 < thresh where thresh
-    is min_radius; we keep that semantic).
+    """Center-distance greedy suppression (ref circle_nms_jit.py:5-29):
+    suppress j when squared center distance <= thresh (the reference passes
+    test_cfg.min_radius as the squared-distance threshold directly).
     """
     N = centers.shape[0]
     scores = jnp.where(valid, scores, -jnp.inf)
     top_scores, order = jax.lax.top_k(scores, N)
     c = centers[order]
     d2 = jnp.sum((c[:, None, :] - c[None, :, :]) ** 2, -1)
-    suppress = d2 < min_radius
+    suppress = d2 <= min_radius
     alive0 = jnp.isfinite(top_scores)
     idx = jnp.arange(N)
 

@@ -21,8 +21,7 @@ spconv's indice_key caching (ref scn.py:20,99) at trace time for free.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ grid if the detection range ever outgrows one chip's HBM.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

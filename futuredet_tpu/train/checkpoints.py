@@ -6,10 +6,8 @@ Replaces the reference's torch save/load + `latest.pth` symlink
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from .step import TrainState

@@ -14,12 +14,12 @@ with true (fixed) weight decay 0.01, one-cycle lr/momentum, grad-clip 35.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import ExperimentConfig
 from ..models.detector import build_detector

@@ -7,7 +7,7 @@ including the voxelizer and decode, which the reference counter cannot see.
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 

@@ -9,7 +9,7 @@ import ctypes
 import os
 import subprocess
 from functools import lru_cache
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -17,3 +17,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu"
 assert jax.device_count() == 8
+
+# persistent XLA compilation cache: repeated suite runs skip recompiles
+import os as _os
+
+_cache = _os.path.join(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))), ".jax_cache")
+_os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
