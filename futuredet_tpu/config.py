@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 def _t(x) -> tuple:
@@ -162,6 +162,11 @@ class ModelConfig:
     # active-site capacity per stage (static buffers for the gather-scatter
     # submanifold convs)
     middle_vmax: Tuple[int, ...] = (120000, 60000, 30000, 16000)
+    # hybrid tail: stages >= this run as masked dense 3D convs (MXU-bound)
+    # instead of 27-way gathers (HBM-latency-bound); None = fully sparse
+    middle_dense_from_stage: Optional[int] = None
+    # dtype for dense-stage conv contractions ("bfloat16" | None=fp32)
+    middle_dense_dtype: Optional[str] = None
 
 
 @dataclass(frozen=True)

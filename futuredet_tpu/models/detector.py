@@ -107,6 +107,10 @@ class VoxelNetDetector(nn.Module):
                 channels=c.model.middle_channels,
                 vmax=c.model.middle_vmax,
                 grid_zyx=(gz + 1, gy, gx),
+                dense_from_stage=c.model.middle_dense_from_stage,
+                dense_dtype=(jnp.bfloat16
+                             if c.model.middle_dense_dtype == "bfloat16"
+                             else None),
                 axis_name=bn_axes, name="middle")
         x = mid(feats, coords, vvalid, train)          # (B, Y8, X8, Z4*128)
 

@@ -9,6 +9,18 @@ BEV map of 128 * Z4 channels at 1/8 resolution.
 Built on ops.sparse_conv gather-scatter primitives. Neighbor tables are
 computed once per stage and shared by all submanifold convs of that stage
 (the spconv indice_key pattern, ref scn.py:20,99).
+
+Hybrid dense tail (`dense_from_stage`): stages >= the threshold run as
+masked dense 3D convolutions on a scattered canvas instead of 27-way
+gathers. Because inactive cells hold exact zeros and outputs are re-masked
+after every conv, the dense form computes the *same* submanifold sums as
+the gather path (up to fp reassociation) while keeping the MXU fed with
+large conv contractions instead of HBM-latency-bound row gathers — the
+right trade on TPU for the deeper stages, whose grids are small
+((11,360,360) / (6,180,180)) but whose gather rows are wide. Parameters are
+shape- and name-compatible between the two forms, so a checkpoint trained
+one way runs the other. Only difference vs the sparse path: no `vmax`
+capacity cap on dense stages (the sparse path drops overflow sites).
 """
 from __future__ import annotations
 
@@ -46,6 +58,75 @@ class SparseConv(nn.Module):
         return subm_conv_apply(feats, table, w, b)
 
 
+class DenseConv3d(nn.Module):
+    """Dense 3x3x3 conv over a (Z, Y, X, C) canvas.
+
+    Parameter layout is identical to `SparseConv` ((K=27, Cin, Cout) under
+    the name "kernel"), reshaped to DHWIO at apply time, so sparse- and
+    dense-stage checkpoints interchange. `_offsets` enumerates dz, dy, dx
+    row-major == reshape(3, 3, 3) order.
+    """
+    features: int
+    stride: int = 1
+    use_bias: bool = True
+    compute_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, canvas):
+        cin = canvas.shape[-1]
+        w = self.param("kernel", _kernel_init, (27, cin, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,)) \
+            if self.use_bias else None
+        cd = self.compute_dtype or canvas.dtype
+        y = jax.lax.conv_general_dilated(
+            canvas[None].astype(cd),
+            w.reshape(3, 3, 3, cin, self.features).astype(cd),
+            window_strides=(self.stride,) * 3,
+            padding=[(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32)[0]
+        if b is not None:
+            y = y + b
+        return y
+
+
+def _mask_downsample(mask, out_dims):
+    """Stride-2 any-pool of a (Z, Y, X) bool mask == dedupe(coords // 2)
+    active-site semantics of `downsample_coords` (without the vmax cap)."""
+    pads = [(0, 2 * o - d) for o, d in zip(out_dims, mask.shape)]
+    return jax.lax.reduce_window(
+        mask, False, jax.lax.bitwise_or, (2, 2, 2), (2, 2, 2), pads)
+
+
+class DenseBasicBlock(nn.Module):
+    """Dense form of `SparseBasicBlock`: identical param tree (conv1/bn1/
+    conv2/bn2). Re-masks after each conv so inactive cells stay exact zeros
+    (submanifold semantics)."""
+    features: int
+    axis_name: Optional[str] = None
+    compute_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, canvas, mask, train: bool = False):
+        shape = canvas.shape
+        m = mask[..., None]
+        flat_mask = mask.reshape(-1)
+
+        def bn(name, x):
+            x = MaskedBatchNorm(axis_name=self.axis_name, name=name)(
+                x.reshape(-1, x.shape[-1]), flat_mask, train=train)
+            return x.reshape(shape[:-1] + (self.features,))
+
+        identity = canvas
+        x = DenseConv3d(self.features, compute_dtype=self.compute_dtype,
+                        name="conv1")(canvas)
+        x = jnp.where(m, nn.relu(bn("bn1", x)), 0.0)
+        x = DenseConv3d(self.features, compute_dtype=self.compute_dtype,
+                        name="conv2")(x)
+        x = bn("bn2", x)
+        return jnp.where(m, nn.relu(x + identity), 0.0)
+
+
 class SparseBasicBlock(nn.Module):
     """Two submanifold 3x3x3 convs + BN + residual (ref scn.py:37-80)."""
     features: int
@@ -73,12 +154,19 @@ class SparseMiddleEncoder(nn.Module):
     vmax: Tuple[int, ...] = (120000, 60000, 30000, 16000)
     grid_zyx: Tuple[int, int, int] = (41, 1440, 1440)
     axis_name: Optional[str] = None
+    # stages >= this run as masked dense convs (None = fully sparse)
+    dense_from_stage: Optional[int] = None
+    # dtype for dense-stage conv contractions (canvases stream, so bf16 has
+    # no sub-word gather penalty here; accumulation stays fp32)
+    dense_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, voxel_feats, coords_zyx, voxel_valid,
                  train: bool = False):
         """voxel_feats (V0, C), coords (V0, 3) zyx, valid (V0,) ->
         dense BEV (Y/8, X/8, channels[-1] * Z4)."""
+        dense_start = (self.dense_from_stage
+                       if self.dense_from_stage is not None else 4)
         grid = make_grid(coords_zyx, voxel_valid, self.grid_zyx)
         # re-sort features to the grid's id order
         sentinel = self.grid_zyx[0] * self.grid_zyx[1] * self.grid_zyx[2]
@@ -89,38 +177,89 @@ class SparseMiddleEncoder(nn.Module):
         x = voxel_feats[order]
 
         dims = self.grid_zyx
+        canvas = mask = None          # dense-stage state, once transitioned
+
+        def to_dense(x, grid, dims):
+            c = scatter_dense(jnp.where(grid.valid[:, None], x, 0.0),
+                              grid, dims)
+            m = scatter_dense(grid.valid[:, None].astype(jnp.float32),
+                              grid, dims)[..., 0] > 0
+            return c, m
+
+        def bn_dense(name, c, m):
+            y = MaskedBatchNorm(axis_name=self.axis_name, name=name)(
+                c.reshape(-1, c.shape[-1]), m.reshape(-1), train=train)
+            return y.reshape(c.shape)
+
         # stage 0: subm conv_input + 2 residual blocks (ref :98-107)
-        table = neighbor_table(grid, dims)
-        x = SparseConv(self.channels[0], use_bias=False, name="conv_input")(
-            x, table)
-        x = MaskedBatchNorm(axis_name=self.axis_name, name="bn_input")(
-            x, grid.valid, train=train)
-        x = nn.relu(x)
-        for j in range(2):
-            x = SparseBasicBlock(self.channels[0], axis_name=self.axis_name,
-                                 name=f"res0_{j}")(x, table, grid.valid, train)
+        if dense_start <= 0:
+            canvas, mask = to_dense(x, grid, dims)
+            canvas = DenseConv3d(self.channels[0], use_bias=False,
+                                 compute_dtype=self.dense_dtype,
+                                 name="conv_input")(canvas)
+            canvas = jnp.where(
+                mask[..., None],
+                nn.relu(bn_dense("bn_input", canvas, mask)), 0.0)
+            for j in range(2):
+                canvas = DenseBasicBlock(
+                    self.channels[0], axis_name=self.axis_name,
+                    compute_dtype=self.dense_dtype,
+                    name=f"res0_{j}")(canvas, mask, train)
+        else:
+            table = neighbor_table(grid, dims)
+            x = SparseConv(self.channels[0], use_bias=False,
+                           name="conv_input")(x, table)
+            x = MaskedBatchNorm(axis_name=self.axis_name, name="bn_input")(
+                x, grid.valid, train=train)
+            x = nn.relu(x)
+            for j in range(2):
+                x = SparseBasicBlock(self.channels[0],
+                                     axis_name=self.axis_name,
+                                     name=f"res0_{j}")(x, table, grid.valid,
+                                                       train)
 
         # stages 1..3: strided down + 2 residual blocks (ref :109-137)
         for s in range(1, 4):
             out_dims = tuple(max((d + 1) // 2, 1) for d in dims)
-            ngrid = downsample_coords(grid, out_dims, self.vmax[s])
-            dtable = strided_gather_table(grid, ngrid, dims)
-            x = SparseConv(self.channels[s], use_bias=False,
-                           name=f"down{s}")(x, dtable)
-            x = MaskedBatchNorm(axis_name=self.axis_name, name=f"bn_down{s}")(
-                x, ngrid.valid, train=train)
-            x = nn.relu(x)
-            grid, dims = ngrid, out_dims
-            table = neighbor_table(grid, dims)
-            for j in range(2):
-                x = SparseBasicBlock(self.channels[s],
-                                     axis_name=self.axis_name,
-                                     name=f"res{s}_{j}")(x, table, grid.valid,
-                                                         train)
+            if s >= dense_start:
+                if canvas is None:    # sparse -> dense transition
+                    canvas, mask = to_dense(x, grid, dims)
+                canvas = DenseConv3d(self.channels[s], use_bias=False,
+                                     stride=2,
+                                     compute_dtype=self.dense_dtype,
+                                     name=f"down{s}")(canvas)
+                mask = _mask_downsample(mask, out_dims)
+                canvas = jnp.where(
+                    mask[..., None],
+                    nn.relu(bn_dense(f"bn_down{s}", canvas, mask)), 0.0)
+                dims = out_dims
+                for j in range(2):
+                    canvas = DenseBasicBlock(
+                        self.channels[s], axis_name=self.axis_name,
+                        compute_dtype=self.dense_dtype,
+                        name=f"res{s}_{j}")(canvas, mask, train)
+            else:
+                ngrid = downsample_coords(grid, out_dims, self.vmax[s])
+                dtable = strided_gather_table(grid, ngrid, dims)
+                x = SparseConv(self.channels[s], use_bias=False,
+                               name=f"down{s}")(x, dtable)
+                x = MaskedBatchNorm(axis_name=self.axis_name,
+                                    name=f"bn_down{s}")(
+                    x, ngrid.valid, train=train)
+                x = nn.relu(x)
+                grid, dims = ngrid, out_dims
+                table = neighbor_table(grid, dims)
+                for j in range(2):
+                    x = SparseBasicBlock(self.channels[s],
+                                         axis_name=self.axis_name,
+                                         name=f"res{s}_{j}")(x, table,
+                                                             grid.valid,
+                                                             train)
 
         # z-crush (ref extra_conv :140-146 + .dense() reshape :165-168):
         # scatter to dense (Z4, Y4, X4, C) and fold z into channels
-        x = jnp.where(grid.valid[:, None], x, 0.0)
-        dense = scatter_dense(x, grid, dims)           # (Z, Y, X, C)
-        Z, Y, X, C = dense.shape
-        return dense.transpose(1, 2, 0, 3).reshape(Y, X, Z * C)
+        if canvas is None:
+            x = jnp.where(grid.valid[:, None], x, 0.0)
+            canvas = scatter_dense(x, grid, dims)      # (Z, Y, X, C)
+        Z, Y, X, C = canvas.shape
+        return canvas.transpose(1, 2, 0, 3).reshape(Y, X, Z * C)
