@@ -31,9 +31,16 @@ All inputs are plain numpy; this runs host-side after device decode+linking.
 from __future__ import annotations
 
 from dataclasses import dataclass
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+from ..utils import native
+
+# the C++ greedy matcher is behavior-identical (fp32 distances instead of
+# fp64); FUTUREDET_NO_NATIVE=1 forces the pure-numpy path
+_USE_NATIVE = os.environ.get("FUTUREDET_NO_NATIVE", "0") != "1"
 
 DIST_THRESHOLDS = (0.5, 1.0, 2.0, 4.0)
 TP_DIST = 2.0
@@ -103,11 +110,58 @@ def _gt_index(gts: List[GTRecord]):
     return gt_by_sample, gt_centers
 
 
+def _flatten_for_native(units, gts: List[GTRecord], gt_index):
+    """Flat arrays for the C++ greedy matcher (csrc fd_accumulate).
+
+    GTs are regrouped contiguously per sample; predictions carry the sample
+    id (-1 when the sample has no GTs). Returns None when there is nothing
+    to flatten."""
+    gt_by_sample, _ = gt_index
+    sample_to_id = {s: k for k, s in enumerate(gt_by_sample)}
+    gt_rows = [i for idx in gt_by_sample.values() for i in idx]
+    offs = np.zeros(len(gt_by_sample) + 1, np.int32)
+    for k, idx in enumerate(gt_by_sample.values()):
+        offs[k + 1] = offs[k] + len(idx)
+    gt_centers = np.ascontiguousarray(
+        np.stack([gts[i].centers for i in gt_rows]), np.float32)
+    gt_size = np.ascontiguousarray(
+        np.stack([gts[i].size for i in gt_rows]), np.float32)
+    gt_yaw = np.ascontiguousarray(
+        np.array([gts[i].yaw for i in gt_rows]), np.float32)
+    gt_vel = np.ascontiguousarray(
+        np.stack([gts[i].vel for i in gt_rows]), np.float32)
+
+    members = [p for u in units for p in u]
+    uoffs = np.zeros(len(units) + 1, np.int32)
+    for k, u in enumerate(units):
+        uoffs[k + 1] = uoffs[k] + len(u)
+    if members:
+        mem_sample = np.array([sample_to_id.get(p.sample, -1)
+                               for p in members], np.int32)
+        mem_centers = np.ascontiguousarray(
+            np.stack([p.centers for p in members]), np.float32)
+        mem_size = np.ascontiguousarray(
+            np.stack([p.size for p in members]), np.float32)
+        mem_yaw = np.ascontiguousarray(
+            np.array([p.yaw for p in members]), np.float32)
+        mem_vel = np.ascontiguousarray(
+            np.stack([p.vel for p in members]), np.float32)
+    else:
+        T = gt_centers.shape[1]
+        mem_sample = np.zeros((0,), np.int32)
+        mem_centers = np.zeros((0, T, 2), np.float32)
+        mem_size = np.zeros((0, 3), np.float32)
+        mem_yaw = np.zeros((0,), np.float32)
+        mem_vel = np.zeros((0, 2), np.float32)
+    return (uoffs, mem_sample, mem_centers, mem_size, mem_yaw, mem_vel,
+            offs, gt_centers, gt_size, gt_yaw, gt_vel)
+
+
 def _accumulate(preds: List[PredRecord], gts: List[GTRecord], dist_th: float,
                 *, use_forecast_score: bool, final_match_th: Optional[float],
                 match_timestep: int = 0, topk: int = 1,
                 association_oracle: bool = False, units=None, key=None,
-                gt_index=None):
+                gt_index=None, native_data=None):
     """Greedy score-ordered matching (nuScenes accumulate()).
 
     final_match_th: if set, a TP additionally requires final-timestep center
@@ -126,6 +180,27 @@ def _accumulate(preds: List[PredRecord], gts: List[GTRecord], dist_th: float,
         units, key = _make_units(preds, use_forecast_score, topk)
     if gt_index is None:
         gt_index = _gt_index(gts)
+
+    # native fast path: the greedy loop in C++ (csrc fd_accumulate)
+    if native_data is None and _USE_NATIVE and native.available():
+        native_data = _flatten_for_native(units, gts, gt_index)
+    if native_data is not None and _USE_NATIVE:
+        res = native.accumulate_native(
+            *native_data, dist_th=dist_th, final_match_th=final_match_th,
+            match_timestep=match_timestep,
+            association_oracle=association_oracle, mr_thresh=MR_THRESH)
+        if res is not None:
+            tp_flags, errs8 = res
+            tp_f = tp_flags.astype(np.float64)
+            names = ("trans_err", "scale_err", "orient_err", "vel_err",
+                     "attr_err", "avg_disp_err", "final_disp_err", "miss")
+            sel = tp_flags.astype(bool)
+            return {"tp": np.cumsum(tp_f), "fp": np.cumsum(1.0 - tp_f),
+                    "conf": np.array([key(u[0]) for u in units]),
+                    "errs": {n: errs8[sel, k].astype(np.float64)
+                             for k, n in enumerate(names)},
+                    "npos": npos}
+
     gt_by_sample, gt_centers = gt_index
     gt_centers_t = {s: c[:, match_timestep] for s, c in gt_centers.items()}
     taken = np.zeros(npos, bool)
@@ -309,13 +384,19 @@ def evaluate_forecasts(preds: List[PredRecord], gts: List[GTRecord],
         units_det, key_det = _make_units(cls_preds, False, topk)
         units_fc, key_fc = _make_units(cls_preds, True, topk)
         gt_index = _gt_index(cls_gts) if cls_gts else None
+        use_nat = _USE_NATIVE and native.available() and gt_index is not None
+        nat_det = _flatten_for_native(units_det, cls_gts, gt_index) \
+            if use_nat else None
+        nat_fc = _flatten_for_native(units_fc, cls_gts, gt_index) \
+            if use_nat else None
 
         ap_list, ar_list, fap_list, far_list = [], [], [], []
         aap_list, aar_list, fapmr_list = [], [], []
         for th in DIST_THRESHOLDS:
             acc = _accumulate(cls_preds, cls_gts, th, use_forecast_score=False,
                               final_match_th=None, units=units_det,
-                              key=key_det, gt_index=gt_index)
+                              key=key_det, gt_index=gt_index,
+                              native_data=nat_det)
             ap, ar = _calc_ap(acc)
             ap_list.append(ap)
             ar_list.append(ar)
@@ -323,7 +404,8 @@ def evaluate_forecasts(preds: List[PredRecord], gts: List[GTRecord],
             facc = _accumulate(cls_preds, cls_gts, th, use_forecast_score=True,
                                final_match_th=th, topk=topk,
                                association_oracle=association_oracle,
-                               units=units_fc, key=key_fc, gt_index=gt_index)
+                               units=units_fc, key=key_fc, gt_index=gt_index,
+                               native_data=nat_fc)
             fap, far = _calc_ap(facc)
             fap_list.append(fap)
             far_list.append(far)
@@ -332,7 +414,8 @@ def evaluate_forecasts(preds: List[PredRecord], gts: List[GTRecord],
                                  use_forecast_score=True,
                                  final_match_th=MR_THRESH, topk=topk,
                                  association_oracle=association_oracle,
-                                 units=units_fc, key=key_fc, gt_index=gt_index)
+                                 units=units_fc, key=key_fc,
+                                 gt_index=gt_index, native_data=nat_fc)
             fapmr_list.append(_calc_ap(fmracc)[0])
 
             taps, tars = [], []
@@ -341,7 +424,7 @@ def evaluate_forecasts(preds: List[PredRecord], gts: List[GTRecord],
                                    use_forecast_score=True,
                                    final_match_th=None, match_timestep=t,
                                    topk=topk, units=units_fc, key=key_fc,
-                                   gt_index=gt_index)
+                                   gt_index=gt_index, native_data=nat_fc)
                 a, r = _calc_ap(tacc)
                 taps.append(a)
                 tars.append(r)
@@ -359,7 +442,7 @@ def evaluate_forecasts(preds: List[PredRecord], gts: List[GTRecord],
         acc_tp = _accumulate(cls_preds, cls_gts, TP_DIST,
                              use_forecast_score=True, final_match_th=None,
                              topk=topk, units=units_fc, key=key_fc,
-                             gt_index=gt_index)
+                             gt_index=gt_index, native_data=nat_fc)
         tp_errors[cls] = _calc_tp_errors(acc_tp, tp_pct)
 
     return EvalResult(aps, ars, faps, fars, aaps, aars, faps_mr, tp_errors)

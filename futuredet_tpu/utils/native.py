@@ -98,6 +98,47 @@ def voxelize_native(points: np.ndarray, voxel_size, coors_range,
     return voxels[:num], coors[:num], nump[:num]
 
 
+def accumulate_native(unit_offsets, mem_sample, mem_centers, mem_size,
+                      mem_yaw, mem_vel, gt_offsets, gt_centers, gt_size,
+                      gt_yaw, gt_vel, *, dist_th: float,
+                      final_match_th: Optional[float], match_timestep: int,
+                      association_oracle: bool, mr_thresh: float):
+    """Greedy matcher for the joint-metrics engine (fd_accumulate).
+    Returns (tp (U,) uint8, errs (U, 8) float32) or None if unavailable.
+    Error columns: trans, scale, orient, vel, attr, ade, fde, miss."""
+    lib = _lib()
+    if lib is None:
+        return None
+    U = len(unit_offsets) - 1
+    G, T = gt_centers.shape[0], gt_centers.shape[1]
+    tp = np.zeros((U,), np.uint8)
+    errs = np.zeros((U, 8), np.float32)
+    taken = np.zeros((max(G, 1),), np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.fd_accumulate(
+        unit_offsets.ctypes.data_as(i32p), ctypes.c_int64(U),
+        mem_sample.ctypes.data_as(i32p),
+        mem_centers.ctypes.data_as(f32p),
+        mem_size.ctypes.data_as(f32p),
+        mem_yaw.ctypes.data_as(f32p),
+        mem_vel.ctypes.data_as(f32p),
+        gt_offsets.ctypes.data_as(i32p),
+        gt_centers.ctypes.data_as(f32p),
+        gt_size.ctypes.data_as(f32p),
+        gt_yaw.ctypes.data_as(f32p),
+        gt_vel.ctypes.data_as(f32p),
+        ctypes.c_int(T), ctypes.c_float(dist_th),
+        ctypes.c_float(-1.0 if final_match_th is None else final_match_th),
+        ctypes.c_int(match_timestep),
+        ctypes.c_uint8(1 if association_oracle else 0),
+        ctypes.c_float(mr_thresh),
+        tp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        errs.ctypes.data_as(f32p),
+        taken.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return tp, errs
+
+
 def shuffle_native(points: np.ndarray, seed: int = 0) -> bool:
     lib = _lib()
     if lib is None:
