@@ -8,7 +8,7 @@ feature maps are NHWC.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -46,6 +46,9 @@ class PointPillarsDetector(nn.Module):
     """ref det3d/models/detectors/point_pillars.py + pillar_encoder.py."""
     cfg: ExperimentConfig
     axis_name: Optional[str] = None
+    # NamedSharding for the (B, Y, X, C) BEV canvas under GSPMD spatial
+    # sharding (parallel.mesh.canvas_sharding); None = no constraint
+    canvas_sharding: Optional[Any] = None
 
     @nn.compact
     def __call__(self, points, points_valid, bev_map=None, train: bool = False):
@@ -57,6 +60,11 @@ class PointPillarsDetector(nn.Module):
             voxel_size=c.voxel.voxel_size[:2], pc_range=c.voxel.pc_range,
             grid_hw=(gy, gx), axis_name=self.axis_name,
             name="reader")(points, points_valid, train)
+        if self.canvas_sharding is not None:
+            # XLA SPMD propagates this through the conv tower, inserting
+            # halo exchanges for every spatial window
+            canvas = jax.lax.with_sharding_constraint(
+                canvas, self.canvas_sharding)
 
         x = RPN(layer_nums=c.model.rpn.layer_nums,
                 ds_strides=c.model.rpn.ds_strides,
@@ -75,6 +83,7 @@ class VoxelNetDetector(nn.Module):
     cfg.model.middle="dense" for the dense BEV fallback tower."""
     cfg: ExperimentConfig
     axis_name: Optional[str] = None
+    canvas_sharding: Optional[Any] = None
 
     @nn.compact
     def __call__(self, points, points_valid, bev_map=None, train: bool = False):
@@ -113,6 +122,8 @@ class VoxelNetDetector(nn.Module):
                              else None),
                 axis_name=bn_axes, name="middle")
         x = mid(feats, coords, vvalid, train)          # (B, Y8, X8, Z4*128)
+        if self.canvas_sharding is not None:
+            x = jax.lax.with_sharding_constraint(x, self.canvas_sharding)
 
         x = ConvBNReLU(c.model.rpn.in_channels, 1, 1, use_bias=False,
                        axis_name=self.axis_name, name="z_crush")(x, train)
@@ -178,7 +189,10 @@ class VoxelNetDetector(nn.Module):
                           name="head")(x, bev_map=bev_map, train=train)
 
 
-def build_detector(cfg: ExperimentConfig, axis_name: Optional[str] = None):
+def build_detector(cfg: ExperimentConfig, axis_name: Optional[str] = None,
+                   canvas_sharding=None):
     if cfg.model.detector == "pointpillars":
-        return PointPillarsDetector(cfg=cfg, axis_name=axis_name)
-    return VoxelNetDetector(cfg=cfg, axis_name=axis_name)
+        return PointPillarsDetector(cfg=cfg, axis_name=axis_name,
+                                    canvas_sharding=canvas_sharding)
+    return VoxelNetDetector(cfg=cfg, axis_name=axis_name,
+                            canvas_sharding=canvas_sharding)

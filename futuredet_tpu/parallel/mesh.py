@@ -6,8 +6,12 @@ sharded over it, parameters replicated, gradients/BN-stats psum/pmean'ed by
 XLA collectives over ICI inside the jitted step (no launcher, no process
 groups, no pickle gathers).
 
-A second optional `space` axis is reserved for spatially sharding the BEV
-grid if the detection range ever outgrows one chip's HBM.
+A second `space` axis spatially shards the BEV grid: the canvas is
+partitioned along Y (`PartitionSpec("data", "space")` on (B, Y, X, C)) and
+XLA's SPMD partitioner inserts the halo exchanges (collective-permute of
+boundary rows over ICI) that the RPN/head convolutions need — no manual
+ghost-cell code. Use it when the detection range outgrows one chip's HBM or
+to cut per-chip latency at fixed batch.
 """
 from __future__ import annotations
 
@@ -18,6 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPACE_AXIS = "space"
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -26,6 +31,23 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def make_mesh_2d(n_data: int, n_space: int, devices=None) -> Mesh:
+    """(data, space) mesh. Adjacent devices share the space axis so halo
+    exchanges ride nearest-neighbor ICI links."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[:n_data * n_space]).reshape(n_data, n_space)
+    return Mesh(devices, (DATA_AXIS, SPACE_AXIS))
+
+
+def canvas_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (B, Y, X, C) BEV canvases: batch over data, rows over
+    space (identity when the mesh has no space axis)."""
+    if SPACE_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS))
+    return NamedSharding(mesh, P(DATA_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
