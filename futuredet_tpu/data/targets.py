@@ -127,10 +127,52 @@ def assign_forecast_targets(cfg: ExperimentConfig, gt_boxes, gt_valid):
     return {f"{k}_forecast": v for k, v in out.items()}
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def assign_multitask_targets(cfg: ExperimentConfig, gt_boxes, gt_classes,
+                             gt_valid):
+    """Multi-task standard family (classic CenterPoint: classes partitioned
+    into per-SepHead groups, ref center_head.py:321-323 + AssignLabel's
+    per-task loop). Requires timesteps == 1; the leading target axis becomes
+    the TASK index instead of the timestep, heatmaps are channel-padded to
+    the widest group, and `cat` is the within-task 0-based class."""
+    tasks = cfg.model.head.tasks
+    names = list(cfg.data.class_names)
+    cmax = max(len(t) for t in tasks)
+    boxes0, cls0, val0 = gt_boxes[0], gt_classes[0], gt_valid[0]
+
+    hms, annos, inds, masks, cats = [], [], [], [], []
+    for task in tasks:
+        # global 1-based class id -> within-task 1-based id (0 = not ours)
+        lut = np.zeros(len(names) + 1, np.int32)
+        for j, n in enumerate(task):
+            lut[names.index(n) + 1] = j + 1
+        tcls = jnp.asarray(lut)[jnp.clip(cls0, 0, len(names))]
+        tval = val0 & (tcls > 0)
+        out = assign_targets(cfg, boxes0[None], tcls[None], tval[None],
+                             num_classes=len(task))
+        hm = out["hm"][0]
+        if len(task) < cmax:
+            hm = jnp.pad(hm, ((0, 0), (0, 0), (0, cmax - len(task))))
+        hms.append(hm)
+        annos.append(out["anno_box"][0])
+        inds.append(out["ind"][0])
+        masks.append(out["mask"][0])
+        cats.append(out["cat"][0])
+    return {"hm": jnp.stack(hms), "anno_box": jnp.stack(annos),
+            "ind": jnp.stack(inds), "mask": jnp.stack(masks),
+            "cat": jnp.stack(cats)}
+
+
 def build_targets(cfg: ExperimentConfig, gt_boxes, gt_classes, gt_valid,
                   traj_classes=None) -> Dict[str, jax.Array]:
     """Full target dict for one sample (standard [+ trajectory/forecast when
     the sampler is trajectory-conditioned], ref AssignLabel :571)."""
+    h = cfg.model.head
+    if h.standard and len(h.tasks) > 1:
+        assert h.timesteps == 1, \
+            "multi-task class groups require timesteps == 1"
+        return dict(assign_multitask_targets(cfg, gt_boxes, gt_classes,
+                                             gt_valid))
     out = dict(assign_targets(cfg, gt_boxes, gt_classes, gt_valid,
                               num_classes=max(1, len(cfg.data.class_names))))
     if cfg.assigner.sampler_type != "standard" and traj_classes is not None:

@@ -44,7 +44,11 @@ def expand_pseudo_tasks(cfg: ExperimentConfig,
     h = cfg.model.head
     T = h.target_timesteps
     out = []
-    if h.standard or h.reverse:
+    if h.standard and len(h.tasks) > 1:
+        # multi-task class groups (classic CenterPoint): one pseudo-task per
+        # SepHead; labels become global class ids downstream
+        out = list(preds)
+    elif h.standard or h.reverse:
         pd = preds[0]
         ts = h.timesteps
         vels = [pd["vel"][..., 2 * i:2 * i + 2] for i in range(ts)]
@@ -105,12 +109,29 @@ def decode_and_nms(cfg: ExperimentConfig,
     """
     pseudo = expand_pseudo_tasks(cfg, preds)
     tc = cfg.test
+    h = cfg.model.head
     T = len(pseudo)
+    multitask = h.standard and len(h.tasks) > 1
 
     decs = [decode_single(pd, cfg) for pd in pseudo]
+    cmax = max(d[1].shape[-1] for d in decs)
+
+    def pad_c(x):  # post-sigmoid (>0), zero-pad never wins max/argmax
+        return jnp.pad(x, ((0, 0), (0, 0), (0, cmax - x.shape[-1])))
+
     boxes = jnp.stack([d[0] for d in decs])          # (T, B, HW, 9)
-    hm = jnp.stack([d[1] for d in decs])             # (T, B, HW, C)
+    hm = jnp.stack([pad_c(d[1]) for d in decs])      # (T, B, HW, Cmax)
     scores = jnp.max(hm, axis=-1)
+    if multitask:
+        # label = global class id (task channel offset + per-cell argmax,
+        # ref CenterHead.predict's per-task class offsetting)
+        offs = np.cumsum([0] + [len(t) for t in h.tasks[:-1]])
+        loclab = (jnp.asarray(offs, jnp.int32)[:, None, None]
+                  + jnp.argmax(hm, axis=-1).astype(jnp.int32))
+    else:
+        # label = pseudo-timestep index (ref :686-690)
+        loclab = jnp.broadcast_to(
+            jnp.arange(T, dtype=jnp.int32)[:, None, None], scores.shape)
     rng = jnp.asarray(tc.post_center_limit_range)
     in_range = (jnp.all(boxes[..., :3] >= rng[:3], -1)
                 & jnp.all(boxes[..., :3] <= rng[3:], -1))
@@ -127,30 +148,28 @@ def decode_and_nms(cfg: ExperimentConfig,
         # center-distance suppression (ref center_head.py:725-728)
         from ..ops.nms import circle_nms
 
-        def one(b, s, v):
+        def one(b, s, l, v):
             sel, _ = circle_nms(b[:, :2], s, v,
                                 min_radius=float(tc.min_radius[0]),
                                 post_max=tc.nms.post_max_size)
             keep = sel >= 0
             idx = jnp.maximum(sel, 0)
-            return b[idx], s[idx], keep
+            return b[idx], s[idx], l[idx], keep
     else:
-        def one(b, s, v):
+        def one(b, s, l, v):
             sel, _ = _nms(
                 b[:, [0, 1, 2, 3, 4, 5, 8]], s, v,
                 iou_threshold=tc.nms.iou_threshold,
                 pre_max=tc.nms.pre_max_size, post_max=tc.nms.post_max_size)
             keep = sel >= 0
             idx = jnp.maximum(sel, 0)
-            return b[idx], s[idx], keep
+            return b[idx], s[idx], l[idx], keep
 
-    bb, ss, kk = jax.vmap(jax.vmap(one))(boxes, scores, ok)  # (T, B, post, ...)
-    labels = jnp.broadcast_to(
-        jnp.arange(T, dtype=jnp.int32)[:, None, None], ss.shape)
+    bb, ss, ll, kk = jax.vmap(jax.vmap(one))(boxes, scores, loclab, ok)
 
     def flat(x):  # (T, B, post, ...) -> (B, T*post, ...)
         x = jnp.moveaxis(x, 0, 1)
         return x.reshape(x.shape[0], -1, *x.shape[3:])
 
     return Detections(boxes=flat(bb), scores=flat(jnp.where(kk, ss, 0.0)),
-                      labels=flat(labels), valid=flat(kk))
+                      labels=flat(ll), valid=flat(kk))

@@ -176,6 +176,15 @@ def link_sample(classname: str, forecast_mode: str, times, per_t
         return constant_velocity_trajectories(per_t, times, reverse=True)
     if forecast_mode == "velocity_dense":
         return tracker(classname, times, per_t)
+    if forecast_mode.startswith("velocity_sparse"):
+        # Parity note: the reference's velocity_sparse_{forward,reverse,
+        # match} modes are unreachable dead code — after their pre-match
+        # branch (ref nuscenes.py:419-427) the final dispatch has no case
+        # for them and hits `assert False, "Invalid Forecast Mode"`
+        # (ref nuscenes.py:470-471). We fail loudly with the same contract.
+        raise ValueError(
+            f"{forecast_mode} is dead code in the reference (its final "
+            f"dispatch asserts); use velocity_dense for the sparse head")
     raise ValueError(f"unknown forecast_mode {forecast_mode}")
 
 

@@ -163,13 +163,18 @@ def center_head_loss(cfg: HeadConfig, preds: List[Dict[str, jax.Array]],
                 bl = reg_loss(box, mask_t[:, -1], ind_t[:, -1], tgt)
                 loc = loc + jnp.sum(bl * (cw if i == 0 else cwf))
         else:  # standard (ref :421,:444,:500,:513-514)
-            hm_loss = fast_focal_loss(hm_pred, hm_t[:, 0], ind_t[:, 0],
-                                      mask_t[:, 0], cat_t[:, 0])
+            # multi-task class groups: the leading target axis is the task
+            # index (timesteps == 1); heatmap targets are channel-padded to
+            # the widest group, so slice to this head's width
+            fam = task_id if len(cfg.tasks) > 1 else 0
+            hm_tgt = hm_t[:, fam][..., :hm_pred.shape[-1]]
+            hm_loss = fast_focal_loss(hm_pred, hm_tgt, ind_t[:, fam],
+                                      mask_t[:, fam], cat_t[:, fam])
             loc = 0.0
             for i in range(T):
                 box = assemble_anno_box(pd, cfg, i)
-                tgt = anno_t[:, i][..., cols]
-                bl = reg_loss(box, mask_t[:, 0], ind_t[:, 0], tgt)
+                tgt = anno_t[:, fam + i][..., cols]
+                bl = reg_loss(box, mask_t[:, fam], ind_t[:, fam], tgt)
                 loc = loc + jnp.sum(bl * (cw if i == 0 else cwf))
 
         if cfg.two_stage:

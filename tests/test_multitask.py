@@ -1,0 +1,164 @@
+"""Multi-task class groups (classic CenterPoint: one SepHead per group).
+
+ref center_head.py:321-323 builds `num_classes = [len(t) for t in tasks]`;
+targets/loss/decode treat the leading family axis as the task index when
+timesteps == 1 and len(tasks) > 1.
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from futuredet_tpu.config import (AssignerConfig, DataConfig, HeadConfig,
+                                  ModelConfig, NMSConfig, RPNConfig,
+                                  TestConfig, VoxelConfig, ExperimentConfig)
+from futuredet_tpu.data import targets as TG
+from futuredet_tpu.eval.decode import decode_and_nms
+from futuredet_tpu.models.detector import build_detector
+from futuredet_tpu.models.losses import center_head_loss
+
+TASKS = (("car",), ("truck", "bus"), ("pedestrian",))
+NAMES = ("car", "truck", "bus", "pedestrian")
+
+
+def mt_cfg():
+    voxel = VoxelConfig(pc_range=(-8.0, -8.0, -3.0, 8.0, 8.0, 3.0),
+                        voxel_size=(0.5, 0.5, 6.0), max_points_per_voxel=8,
+                        max_voxels_train=512, max_voxels_eval=512,
+                        max_points=1024)
+    rpn = RPNConfig(layer_nums=(1, 1), ds_strides=(1, 2), ds_filters=(32, 64),
+                    us_strides=(1, 2), us_filters=(64, 64), in_channels=64)
+    head = HeadConfig(tasks=TASKS, in_channels=128, share_conv_channel=32,
+                      timesteps=1)
+    return ExperimentConfig(
+        name="tiny_mt", timesteps=1,
+        model=ModelConfig(detector="pointpillars",
+                          reader="pillar_feature_net", rpn=rpn, head=head),
+        voxel=voxel,
+        data=DataConfig(class_names=NAMES),
+        test=TestConfig(post_center_limit_range=(-10.,) * 3 + (10.,) * 3,
+                        nms=NMSConfig(pre_max_size=128, post_max_size=16)),
+        assigner=AssignerConfig(out_size_factor=1, max_objs=16))
+
+
+def _gt(seed=0, M=16):
+    rng = np.random.default_rng(seed)
+    n = 10
+    boxes = np.zeros((1, M, 12), np.float32)
+    boxes[0, :n, :2] = rng.uniform(-7, 7, (n, 2))
+    boxes[0, :n, 2] = rng.uniform(-1, 1, n)
+    boxes[0, :n, 3:6] = rng.uniform(1, 3, (n, 3))
+    boxes[0, :n, 6:8] = rng.uniform(-2, 2, (n, 2))
+    boxes[0, :n, 10] = rng.uniform(-np.pi, np.pi, n)
+    classes = np.zeros((1, M), np.int64)
+    classes[0, :n] = rng.integers(1, len(NAMES) + 1, n)
+    valid = np.zeros((1, M), bool)
+    valid[0, :n] = True
+    return boxes, classes, valid
+
+
+def test_multitask_targets_match_per_task_oracle():
+    cfg = mt_cfg()
+    boxes, classes, valid = _gt()
+    out = TG.build_targets(cfg, jnp.asarray(boxes), jnp.asarray(classes),
+                           jnp.asarray(valid))
+    assert out["hm"].shape[0] == len(TASKS)
+    cmax = max(len(t) for t in TASKS)
+    assert out["hm"].shape[-1] == cmax
+
+    for ti, task in enumerate(TASKS):
+        # remap to within-task classes and run the single-task numpy oracle
+        tcls = np.zeros_like(classes)
+        tval = np.zeros_like(valid)
+        for j, nme in enumerate(task):
+            gid = NAMES.index(nme) + 1
+            sel = classes == gid
+            tcls[sel] = j + 1
+            tval |= sel & valid
+        ref = TG.assign_targets_np(cfg, boxes, tcls, tval,
+                                   num_classes=len(task))
+        np.testing.assert_allclose(np.asarray(out["hm"][ti, :, :, :len(task)]),
+                                   ref["hm"][0], atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out["mask"][ti]),
+                                      ref["mask"][0])
+        np.testing.assert_array_equal(np.asarray(out["cat"][ti]),
+                                      ref["cat"][0])
+        np.testing.assert_allclose(np.asarray(out["anno_box"][ti]),
+                                   ref["anno_box"][0], atol=1e-5)
+
+
+def test_multitask_forward_loss_and_decode():
+    cfg = mt_cfg()
+    rng = np.random.default_rng(0)
+    B = 2
+    pts = np.concatenate([rng.uniform(-8, 8, (B, 1024, 2)),
+                          rng.uniform(-2.5, 2.5, (B, 1024, 1)),
+                          rng.uniform(0, 1, (B, 1024, 2))], -1).astype(np.float32)
+    pts = jnp.asarray(pts)
+    pv = jnp.ones((B, 1024), bool)
+
+    model = build_detector(cfg)
+    variables = model.init(jax.random.PRNGKey(0), pts, pv, train=False)
+    preds = model.apply(variables, pts, pv, train=False)
+    assert len(preds) == len(TASKS)
+    assert preds[0]["hm"].shape[-1] == 1 and preds[1]["hm"].shape[-1] == 2
+
+    boxes, classes, valid = _gt()
+    tgt1 = TG.build_targets(cfg, jnp.asarray(boxes), jnp.asarray(classes),
+                            jnp.asarray(valid))
+    targets = jax.tree.map(lambda x: jnp.stack([x, x]), tgt1)
+    losses = center_head_loss(cfg.model.head, preds, targets)
+    assert np.isfinite(float(losses["loss"]))
+    assert losses["hm_loss"].shape == (len(TASKS),)
+
+    det = decode_and_nms(cfg, preds)
+    labs = np.asarray(det.labels)
+    assert labs.min() >= 0 and labs.max() < len(NAMES)
+    # each task contributes a contiguous slot block with its own class range
+    post = cfg.test.nms.post_max_size
+    offs = [0, 1, 3]
+    for ti, task in enumerate(TASKS):
+        blk = labs[:, ti * post:(ti + 1) * post]
+        assert blk.min() >= offs[ti] and blk.max() < offs[ti] + len(task)
+
+
+def test_multitask_train_step_learns():
+    import optax
+
+    cfg = mt_cfg()
+    rng = np.random.default_rng(1)
+    B = 2
+    pts = np.concatenate([rng.uniform(-8, 8, (B, 1024, 2)),
+                          rng.uniform(-2.5, 2.5, (B, 1024, 1)),
+                          rng.uniform(0, 1, (B, 1024, 2))], -1).astype(np.float32)
+    pts, pv = jnp.asarray(pts), jnp.ones((B, 1024), bool)
+    boxes, classes, valid = _gt(2)
+    tgt1 = TG.build_targets(cfg, jnp.asarray(boxes), jnp.asarray(classes),
+                            jnp.asarray(valid))
+    targets = jax.tree.map(lambda x: jnp.stack([x, x]), tgt1)
+
+    model = build_detector(cfg)
+    variables = model.init(jax.random.PRNGKey(0), pts, pv, train=True)
+    params, bs = variables["params"], variables["batch_stats"]
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, bs, opt):
+        def lf(p):
+            preds, mut = model.apply({"params": p, "batch_stats": bs},
+                                     pts, pv, train=True,
+                                     mutable=["batch_stats"])
+            return center_head_loss(cfg.model.head, preds,
+                                    targets)["loss"], mut["batch_stats"]
+        (loss, nbs), g = jax.value_and_grad(lf, has_aux=True)(params)
+        up, nopt = tx.update(g, opt, params)
+        return optax.apply_updates(params, up), nbs, nopt, loss
+
+    losses = []
+    for _ in range(6):
+        params, bs, opt, loss = step(params, bs, opt)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
