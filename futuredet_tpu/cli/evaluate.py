@@ -109,21 +109,23 @@ def main(argv=None):
             logging.warning("%s not found — run cli.tools trajectory first",
                             proto_path)
 
-    fwd = make_eval_forward(cfg)
-    all_preds = []
-    for b in eval_batches:
-        batch = {k: v for k, v in b.items()
-                 if k in ("points", "points_valid")}
-        preds = fwd(state.params, state.batch_stats, batch)
-        det = jax.device_get(decode_and_nms(cfg, preds))
-        all_preds.append((det, b["gt"], b["tokens"]))
+    # forward + decode + NMS fused into ONE jitted program (single async
+    # dispatch per batch); host-side linking of batch i overlaps the device
+    # computing batch i+1 via a depth-2 in-flight queue (JAX async dispatch)
+    from collections import deque
 
-    # full-set evaluation across all batches
     from ..eval.evaluator import detections_to_predictions, \
         gt_records_from_arrays
     from ..eval.metrics import evaluate_forecasts
+
+    fwd = make_eval_forward(cfg)
+    infer = jax.jit(lambda p, s, b: decode_and_nms(cfg, fwd(p, s, b)))
+
     preds, gts = [], []
-    for det, gt, tokens in all_preds:
+
+    def consume(item):
+        det_dev, gt, tokens = item
+        det = jax.device_get(det_dev)
         p = detections_to_predictions(
             cfg, det, tokens, forecast_mode=args.forecast_mode,
             classname=classname, rerank=args.rerank, nogroup=args.nogroup,
@@ -131,9 +133,20 @@ def main(argv=None):
             prototypes=prototypes)
         for x in p:
             x.yaw = float(-x.yaw - np.pi / 2)
-        preds += p
-        gts += gt_records_from_arrays(gt["boxes"], gt["valid"],
-                                      gt.get("traj"), tokens, classname)
+        preds.extend(p)
+        gts.extend(gt_records_from_arrays(gt["boxes"], gt["valid"],
+                                          gt.get("traj"), tokens, classname))
+
+    inflight = deque()
+    for b in eval_batches:
+        batch = {k: v for k, v in b.items()
+                 if k in ("points", "points_valid")}
+        det_dev = infer(state.params, state.batch_stats, batch)
+        inflight.append((det_dev, b["gt"], b["tokens"]))
+        while len(inflight) >= 2:
+            consume(inflight.popleft())
+    while inflight:
+        consume(inflight.popleft())
     results = evaluate_forecasts(
         preds, gts, [classname], tp_pct=args.tp_pct,
         cohort_analysis=args.cohort_analysis, topk=args.K,
