@@ -1,14 +1,20 @@
-"""Training loop: hooks, timing, logging, checkpoint/resume.
+"""Training loop: hooks, timing, logging, checkpoint/resume, preemption.
 
 Functional replacement for the reference's torchie Trainer + hook registry
 (`det3d/torchie/trainer/trainer.py:155-587`, `hooks/`): instead of a class
 hierarchy of 13-event hooks, a lean loop with explicit timing (the
 IterTimerHook equivalents), interval logging (TextLoggerHook, interval 25 per
 ref configs :242-248), per-epoch orbax checkpoints, and resume.
+
+Beyond the reference (which fails whole-job on any fault, SURVEY.md §5):
+SIGTERM/SIGUSR1 — the standard cluster preemption notices — trigger an
+emergency checkpoint at the next step boundary and a clean early return, so
+a preempted job resumes exactly where it stopped (`resume=True`).
 """
 from __future__ import annotations
 
 import logging
+import signal
 import time
 from typing import Callable, Iterable, Optional
 
@@ -89,9 +95,27 @@ def train(cfg: ExperimentConfig, batches: Iterable[dict], *,
     ckpt = CheckpointManager(work_dir) if work_dir else None
     start_step = 0
     if resume and ckpt and ckpt.latest_step() is not None:
-        state = ckpt.restore(state)
+        # device_get: restored arrays come back committed to device 0, which
+        # a multi-device step would reject — uncommitted host arrays let the
+        # jit place them per its sharding specs
+        state = jax.device_get(ckpt.restore(state))
         start_step = int(state.step)
         log_fn(f"resumed from step {start_step}")
+
+    # preemption notice -> emergency checkpoint at the next step boundary
+    preempted = []
+    olds = {}
+
+    def _on_preempt(signum, frame):
+        preempted.append(signum)
+        log_fn(f"signal {signum}: will checkpoint and stop at the next "
+               f"step boundary")
+
+    for sig in (signal.SIGTERM, signal.SIGUSR1):
+        try:
+            olds[sig] = signal.signal(sig, _on_preempt)
+        except ValueError:  # not in the main thread
+            pass
 
     buf = MetricBuffer()
     t_data = t_step = 0.0
@@ -111,6 +135,17 @@ def train(cfg: ExperimentConfig, batches: Iterable[dict], *,
         buf.push({"loss": metrics["loss"]})
         for h in (hooks or ()):
             h.after_step(step, state, metrics)
+
+        if preempted:
+            if ckpt:
+                ckpt.save(step + 1, jax.device_get(state),
+                          {"config": cfg.name, "preempted": True})
+                log_fn(f"preemption checkpoint @ step {step + 1}")
+            for sig, old in olds.items():
+                signal.signal(sig, old)
+            for h in (hooks or ()):
+                h.after_train(state)
+            return state
 
         if (step + 1) % cfg.train.log_interval == 0:
             m = buf.mean_and_clear()
@@ -135,6 +170,8 @@ def train(cfg: ExperimentConfig, batches: Iterable[dict], *,
                 ckpt.save(step + 1, jax.device_get(state),
                           {"config": cfg.name, "epoch": epoch})
                 log_fn(f"checkpoint @ step {step + 1} (epoch {epoch})")
+    for sig, old in olds.items():
+        signal.signal(sig, old)
     for h in (hooks or ()):
         h.after_train(state)
     return state

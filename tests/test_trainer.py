@@ -114,3 +114,51 @@ def test_trainer_hooks_fire():
           hooks=[h], log_fn=lambda m: None)
     assert ("before", 0) in h.events and ("after", 1) in h.events
     assert ("epoch", 1) in h.events and ("done", 2) in h.events
+
+
+def test_trainer_preemption_checkpoint_and_resume(tmp_path):
+    """SIGUSR1 mid-training -> emergency checkpoint + early return; resume
+    continues from the preempted step to schedule completion."""
+    import os
+    import signal as sig
+
+    cfg = tiny_cfg(1, False, False)
+    cfg = cfg.replace(train=cfg.train.__class__(
+        total_epochs=3, optim=cfg.train.optim, seed=0, log_interval=100,
+        checkpoint_interval_epochs=1))
+    batch = make_batch(cfg, 2, seed=0, n_objects=4, n_clutter=500, max_objs=16)
+    batch.pop("gt")
+
+    class PreemptAt:
+        def __init__(self, at):
+            self.at = at
+
+        def after_step(self, step, state, metrics):
+            if step == self.at:
+                os.kill(os.getpid(), sig.SIGUSR1)
+
+        def before_step(self, *a):
+            pass
+
+        def after_epoch(self, *a):
+            pass
+
+        def after_train(self, *a):
+            pass
+
+    lines = []
+    state = train(cfg, itertools.repeat(batch), steps_per_epoch=3,
+                  work_dir=str(tmp_path / "ck"), n_devices=2,
+                  hooks=[PreemptAt(4)], log_fn=lines.append)
+    assert int(state.step) == 5          # stopped early (of 9 total)
+    assert any("preemption checkpoint @ step 5" in l for l in lines)
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    assert mgr.latest_step() == 5
+    # the default handler is restored after the loop exits
+    assert sig.getsignal(sig.SIGUSR1) in (sig.SIG_DFL, sig.Handlers.SIG_DFL)
+
+    state2 = train(cfg, itertools.repeat(batch), steps_per_epoch=3,
+                   work_dir=str(tmp_path / "ck"), n_devices=2, resume=True,
+                   log_fn=lines.append)
+    assert int(state2.step) == 9
+    assert any("resumed from step 5" in l for l in lines)
