@@ -167,6 +167,9 @@ class ModelConfig:
     middle_dense_from_stage: Optional[int] = None
     # dtype for dense-stage conv contractions ("bfloat16" | None=fp32)
     middle_dense_dtype: Optional[str] = None
+    # sparse-stage gather strategy: "loop" (27 small-K matmuls) or "stacked"
+    # (one gather + one K*Cin-deep MXU matmul)
+    middle_gather_algo: str = "loop"
 
 
 @dataclass(frozen=True)

@@ -120,6 +120,7 @@ class VoxelNetDetector(nn.Module):
                 dense_dtype=(jnp.bfloat16
                              if c.model.middle_dense_dtype == "bfloat16"
                              else None),
+                gather_algo=c.model.middle_gather_algo,
                 axis_name=bn_axes, name="middle")
         x = mid(feats, coords, vvalid, train)          # (B, Y8, X8, Z4*128)
         if self.canvas_sharding is not None:

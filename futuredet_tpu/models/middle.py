@@ -47,6 +47,7 @@ class SparseConv(nn.Module):
     """One sparse conv (submanifold or strided, depending on the table)."""
     features: int
     use_bias: bool = True
+    gather_algo: str = "loop"
 
     @nn.compact
     def __call__(self, feats, table):
@@ -55,7 +56,7 @@ class SparseConv(nn.Module):
         w = self.param("kernel", _kernel_init, (K, cin, self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,)) \
             if self.use_bias else None
-        return subm_conv_apply(feats, table, w, b)
+        return subm_conv_apply(feats, table, w, b, algo=self.gather_algo)
 
 
 class DenseConv3d(nn.Module):
@@ -131,15 +132,18 @@ class SparseBasicBlock(nn.Module):
     """Two submanifold 3x3x3 convs + BN + residual (ref scn.py:37-80)."""
     features: int
     axis_name: Optional[str] = None
+    gather_algo: str = "loop"
 
     @nn.compact
     def __call__(self, feats, table, valid, train: bool = False):
         identity = feats
-        x = SparseConv(self.features, name="conv1")(feats, table)
+        x = SparseConv(self.features, gather_algo=self.gather_algo,
+                       name="conv1")(feats, table)
         x = MaskedBatchNorm(axis_name=self.axis_name, name="bn1")(
             x, valid, train=train)
         x = nn.relu(x)
-        x = SparseConv(self.features, name="conv2")(x, table)
+        x = SparseConv(self.features, gather_algo=self.gather_algo,
+                       name="conv2")(x, table)
         x = MaskedBatchNorm(axis_name=self.axis_name, name="bn2")(
             x, valid, train=train)
         x = nn.relu(x + identity)
@@ -159,6 +163,8 @@ class SparseMiddleEncoder(nn.Module):
     # dtype for dense-stage conv contractions (canvases stream, so bf16 has
     # no sub-word gather penalty here; accumulation stays fp32)
     dense_dtype: Optional[jnp.dtype] = None
+    # sparse-stage gather/matmul strategy (ops.sparse_conv.subm_conv_apply)
+    gather_algo: str = "loop"
 
     @nn.compact
     def __call__(self, voxel_feats, coords_zyx, voxel_valid,
@@ -208,6 +214,7 @@ class SparseMiddleEncoder(nn.Module):
         else:
             table = neighbor_table(grid, dims)
             x = SparseConv(self.channels[0], use_bias=False,
+                           gather_algo=self.gather_algo,
                            name="conv_input")(x, table)
             x = MaskedBatchNorm(axis_name=self.axis_name, name="bn_input")(
                 x, grid.valid, train=train)
@@ -215,6 +222,7 @@ class SparseMiddleEncoder(nn.Module):
             for j in range(2):
                 x = SparseBasicBlock(self.channels[0],
                                      axis_name=self.axis_name,
+                                     gather_algo=self.gather_algo,
                                      name=f"res0_{j}")(x, table, grid.valid,
                                                        train)
 
@@ -242,6 +250,7 @@ class SparseMiddleEncoder(nn.Module):
                 ngrid = downsample_coords(grid, out_dims, self.vmax[s])
                 dtable = strided_gather_table(grid, ngrid, dims)
                 x = SparseConv(self.channels[s], use_bias=False,
+                               gather_algo=self.gather_algo,
                                name=f"down{s}")(x, dtable)
                 x = MaskedBatchNorm(axis_name=self.axis_name,
                                     name=f"bn_down{s}")(
@@ -252,6 +261,7 @@ class SparseMiddleEncoder(nn.Module):
                 for j in range(2):
                     x = SparseBasicBlock(self.channels[s],
                                          axis_name=self.axis_name,
+                                         gather_algo=self.gather_algo,
                                          name=f"res{s}_{j}")(x, table,
                                                              grid.valid,
                                                              train)

@@ -92,7 +92,7 @@ def neighbor_table(grid: SparseGrid, dims, kernel: int = 3) -> jax.Array:
 
 
 def subm_conv_apply(features, table, weights, bias=None,
-                    compute_dtype=None):
+                    compute_dtype=None, algo: str = "loop"):
     """Submanifold conv: features (V, Cin), table (K, V), weights (K, Cin, Cout).
 
     Output defined on the SAME active sites (submanifold semantics,
@@ -100,6 +100,14 @@ def subm_conv_apply(features, table, weights, bias=None,
     (241 -> 328 ms full encoder: sub-word gathers cost more than the halved
     traffic saves), so fp32 is the default; the knob remains for future
     hardware.
+
+    algo:
+      "loop"    — K separate gather -> (V,Cin)x(Cin,Cout) matmuls. Small-K
+                  contraction (e.g. 16) underutilizes the 128-deep MXU but
+                  streams the accumulator.
+      "stacked" — one (K,V,Cin) gather transposed to (V, K*Cin), then a
+                  single K*Cin-deep matmul: full MXU utilization at the cost
+                  of materializing the gathered block.
     """
     V, Cin = features.shape
     K = table.shape[0]
@@ -107,11 +115,17 @@ def subm_conv_apply(features, table, weights, bias=None,
     padded = jnp.concatenate(
         [features.astype(cd), jnp.zeros((1, Cin), cd)], 0)
     w = weights.astype(cd)
-    out = None
-    for k in range(K):
-        g = padded[table[k]]                               # (V, Cin)
-        acc = jnp.dot(g, w[k], preferred_element_type=jnp.float32)
-        out = acc if out is None else out + acc
+    if algo == "stacked":
+        g = padded[table]                                  # (K, V, Cin)
+        g = jnp.moveaxis(g, 0, 1).reshape(V, K * Cin)
+        out = jnp.dot(g, w.reshape(K * Cin, -1),
+                      preferred_element_type=jnp.float32)
+    else:
+        out = None
+        for k in range(K):
+            g = padded[table[k]]                           # (V, Cin)
+            acc = jnp.dot(g, w[k], preferred_element_type=jnp.float32)
+            out = acc if out is None else out + acc
     if bias is not None:
         out = out + bias
     return out

@@ -112,3 +112,24 @@ def test_voxelnet_sparse_forward_and_grads():
     W, H = cfg.feature_map_size
     assert preds[0]["hm"].shape == (2, H, W, 1)
     assert np.isfinite(np.asarray(preds[0]["hm"])).all()
+
+
+def test_stacked_algo_matches_loop():
+    dims = (8, 10, 12)
+    coords, valid, feats = _rand_sparse(3, dims)
+    rng = np.random.default_rng(4)
+    W = rng.normal(size=(27, 4, 6)).astype(np.float32) * 0.1
+    b = rng.normal(size=(6,)).astype(np.float32)
+
+    grid = SC.make_grid(jnp.asarray(coords), jnp.asarray(valid), dims)
+    order = np.argsort(np.where(valid,
+                                (coords[:, 0] * dims[1] + coords[:, 1])
+                                * dims[2] + coords[:, 2], np.prod(dims)))
+    sfeats = jnp.asarray(feats[order])
+    table = SC.neighbor_table(grid, dims)
+    loop = SC.subm_conv_apply(sfeats, table, jnp.asarray(W), jnp.asarray(b),
+                              algo="loop")
+    stacked = SC.subm_conv_apply(sfeats, table, jnp.asarray(W),
+                                 jnp.asarray(b), algo="stacked")
+    np.testing.assert_allclose(np.asarray(stacked), np.asarray(loop),
+                               rtol=1e-5, atol=1e-5)
