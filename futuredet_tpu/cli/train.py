@@ -32,6 +32,9 @@ def parse_args(argv=None):
     p.add_argument("--work_dir", default=None)
     p.add_argument("--resume_from", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--space", type=int, default=1,
+                   help="spatial mesh axis size: shard BEV rows over this "
+                        "many devices (GSPMD halo exchanges)")
     p.add_argument("--tiny", action="store_true",
                    help="shrunken geometry for smoke tests")
     p.add_argument("--debug", action="store_true")
@@ -89,10 +92,12 @@ def main(argv=None):
         from ..utils.profiling import trace
         with trace(args.profile):
             state = train(cfg, batches, steps_per_epoch=steps_per_epoch,
-                          work_dir=work_dir, resume=args.resume_from)
+                          work_dir=work_dir, n_space=args.space,
+                          resume=args.resume_from)
     else:
         state = train(cfg, batches, steps_per_epoch=steps_per_epoch,
-                      work_dir=work_dir, resume=args.resume_from)
+                      work_dir=work_dir, n_space=args.space,
+                      resume=args.resume_from)
     logging.info("training done at step %d; checkpoints in %s",
                  int(state.step), work_dir)
     return state

@@ -68,6 +68,7 @@ class MetricBuffer:
 def train(cfg: ExperimentConfig, batches: Iterable[dict], *,
           steps_per_epoch: int, work_dir: Optional[str] = None,
           n_devices: Optional[int] = None,
+          n_space: int = 1,
           resume: bool = False,
           val_fn: Optional[Callable[[TrainState], dict]] = None,
           prefetch_depth: int = 2,
@@ -84,10 +85,16 @@ def train(cfg: ExperimentConfig, batches: Iterable[dict], *,
         if prefetch_depth > 0 else iter(batches)
     first = next(it)
     if n_devices is None:
-        # mesh size must divide the global batch
+        # data-mesh size must divide the global batch
         global_batch = int(first["points"].shape[0])
-        n_devices = math.gcd(global_batch, jax.device_count())
-    mesh = make_mesh(n_devices)
+        n_devices = math.gcd(global_batch,
+                             jax.device_count() // max(n_space, 1))
+    if n_space > 1:
+        # (data, space) mesh: BEV rows spatially sharded (GSPMD step)
+        from ..parallel.mesh import make_mesh_2d
+        mesh = make_mesh_2d(n_devices, n_space)
+    else:
+        mesh = make_mesh(n_devices)
     state = init_state(cfg, jax.random.PRNGKey(cfg.train.seed),
                        jax.tree.map(lambda x: x[:1], first), total_steps)
     step_fn = make_train_step(cfg, mesh, total_steps)
