@@ -105,24 +105,39 @@ class VoxelNetDetector(nn.Module):
                 max_points=c.voxel.max_points_per_voxel))(points, points_valid)
         vvalid = coords[:, :, 0] >= 0
 
-        bn_axes = ("batch",) if self.axis_name is None \
-            else ("batch", self.axis_name)
-        mid = nn.vmap(
-            SparseMiddleEncoder,
-            in_axes=(0, 0, 0, None), out_axes=0,
-            variable_axes={"params": None, "batch_stats": None},
-            split_rngs={"params": False}, axis_name="batch",
-            methods=["__call__"])(
-                channels=c.model.middle_channels,
-                vmax=c.model.middle_vmax,
-                grid_zyx=(gz + 1, gy, gx),
-                dense_from_stage=c.model.middle_dense_from_stage,
-                dense_dtype=(jnp.bfloat16
-                             if c.model.middle_dense_dtype == "bfloat16"
-                             else None),
-                gather_algo=c.model.middle_gather_algo,
-                axis_name=bn_axes, name="middle")
-        x = mid(feats, coords, vvalid, train)          # (B, Y8, X8, Z4*128)
+        algo = c.model.middle_gather_algo
+        if B > 1 and algo.startswith("window"):
+            # the Pallas windowed gather's exactness cond degenerates to
+            # select-both under vmap — use the plain path when batched
+            algo = "loop"
+        mid_kwargs = dict(
+            channels=c.model.middle_channels,
+            vmax=c.model.middle_vmax,
+            grid_zyx=(gz + 1, gy, gx),
+            dense_from_stage=c.model.middle_dense_from_stage,
+            dense_dtype=(jnp.bfloat16
+                         if c.model.middle_dense_dtype == "bfloat16"
+                         else None),
+            gather_algo=algo)
+        if B == 1:
+            # unbatched fast path: identical param tree (nn.vmap with
+            # variable_axes=None does not rename), no vmap wrapper, and
+            # BN over one sample needs no batch axis reduction
+            enc = SparseMiddleEncoder(**mid_kwargs,
+                                      axis_name=self.axis_name,
+                                      name="middle")
+            x = enc(feats[0], coords[0], vvalid[0], train)[None]
+        else:
+            bn_axes = ("batch",) if self.axis_name is None \
+                else ("batch", self.axis_name)
+            mid = nn.vmap(
+                SparseMiddleEncoder,
+                in_axes=(0, 0, 0, None), out_axes=0,
+                variable_axes={"params": None, "batch_stats": None},
+                split_rngs={"params": False}, axis_name="batch",
+                methods=["__call__"])(
+                    **mid_kwargs, axis_name=bn_axes, name="middle")
+            x = mid(feats, coords, vvalid, train)      # (B, Y8, X8, Z4*128)
         if self.canvas_sharding is not None:
             x = jax.lax.with_sharding_constraint(x, self.canvas_sharding)
 

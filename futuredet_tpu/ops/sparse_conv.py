@@ -109,6 +109,18 @@ def subm_conv_apply(features, table, weights, bias=None,
                   single K*Cin-deep matmul: full MXU utilization at the cost
                   of materializing the gathered block.
     """
+    if algo in ("window", "window_bf16"):
+        # Pallas windowed-gather path (MXU row-select; see pallas_gather).
+        # Exact in "window" (fp32 select); "window_bf16" quantizes the
+        # gathered rows to bf16. Single-sample (unbatched) calls only —
+        # under vmap the overflow cond degenerates to select-both.
+        from .pallas_gather import subm_conv_auto
+        return subm_conv_auto(
+            features, table, weights, bias,
+            compute_dtype=jnp.bfloat16 if algo == "window_bf16"
+            else jnp.float32,
+            interpret=jax.default_backend() != "tpu")
+
     V, Cin = features.shape
     K = table.shape[0]
     cd = compute_dtype or features.dtype
