@@ -39,8 +39,30 @@ def _enable_compilation_cache():
     except Exception:
         pass
 
+def _watchdog(seconds: float = 900.0):
+    """The tunneled TPU backend can wedge indefinitely (backend init hangs
+    if the relay died). Fail loudly instead of hanging the driver."""
+    import os
+    import sys
+    import threading
+    import faulthandler
+
+    def boom():
+        sys.stderr.write(
+            f"bench watchdog: no result after {seconds:.0f}s — TPU tunnel "
+            f"likely wedged; aborting\n")
+        faulthandler.dump_traceback(file=sys.stderr)
+        os._exit(3)
+
+    t = threading.Timer(seconds, boom)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     _enable_compilation_cache()
+    watchdog = _watchdog()
     import jax
     import jax.numpy as jnp
     from futuredet_tpu.config import get_config
@@ -86,6 +108,7 @@ def main():
     n_det = jax.device_get(infer_chain(variables, pts, valid))
     dt = (time.perf_counter() - t0) / iters
 
+    watchdog.cancel()
     samples_per_sec = B / dt
     sweeps_per_sec = samples_per_sec * NSWEEPS
     print(json.dumps({
