@@ -167,8 +167,12 @@ class ModelConfig:
     middle_dense_from_stage: Optional[int] = None
     # dtype for dense-stage conv contractions ("bfloat16" | None=fp32)
     middle_dense_dtype: Optional[str] = None
-    # sparse-stage gather strategy: "loop" (27 small-K matmuls) or "stacked"
-    # (one gather + one K*Cin-deep MXU matmul)
+    # sparse-stage gather strategy: "loop" (27 small-K matmuls), "stacked"
+    # (one gather + one K*Cin-deep MXU matmul), or "window"/"window_bf16"
+    # (Pallas one-hot row-select over monotone neighbor windows —
+    # INFERENCE-ONLY and unbatched: training and B>1 auto-downgrade to
+    # "loop" because pallas_call has no AD rule and the exactness cond
+    # degenerates under vmap)
     middle_gather_algo: str = "loop"
 
 

@@ -30,7 +30,9 @@ class Detections(NamedTuple):
     """Fixed-shape detection set per sample.
 
     boxes: (B, N, 9) [x, y, z, w, l, h, vx, vy, rot]
-    scores/labels/valid: (B, N); label == pseudo-timestep (0..T-1)
+    scores/labels/valid: (B, N); label == pseudo-timestep (0..T-1) for
+    forecast modes, or the GLOBAL CLASS id for multi-task standard configs
+    (len(tasks) > 1 — classic CenterPoint class groups)
     """
     boxes: jax.Array
     scores: jax.Array
@@ -144,19 +146,26 @@ def decode_and_nms(cfg: ExperimentConfig,
     else:
         _nms = rotate_nms
 
+    # per-pseudo-task circle-NMS radius: the reference indexes
+    # test_cfg.min_radius by task (center_head.py:725-728); forecast modes
+    # replicate one class so a short tuple broadcasts to all pseudo-tasks
+    radii = jnp.asarray([float(tc.min_radius[min(t, len(tc.min_radius) - 1)])
+                         for t in range(T)], jnp.float32)
+
     if tc.circular_nms:
         # center-distance suppression (ref center_head.py:725-728)
         from ..ops.nms import circle_nms
 
-        def one(b, s, l, v):
+        def one(b, s, l, v, radius):
             sel, _ = circle_nms(b[:, :2], s, v,
-                                min_radius=float(tc.min_radius[0]),
+                                min_radius=radius,
                                 post_max=tc.nms.post_max_size)
             keep = sel >= 0
             idx = jnp.maximum(sel, 0)
             return b[idx], s[idx], l[idx], keep
     else:
-        def one(b, s, l, v):
+        def one(b, s, l, v, radius):
+            del radius
             sel, _ = _nms(
                 b[:, [0, 1, 2, 3, 4, 5, 8]], s, v,
                 iou_threshold=tc.nms.iou_threshold,
@@ -165,7 +174,9 @@ def decode_and_nms(cfg: ExperimentConfig,
             idx = jnp.maximum(sel, 0)
             return b[idx], s[idx], l[idx], keep
 
-    bb, ss, ll, kk = jax.vmap(jax.vmap(one))(boxes, scores, loclab, ok)
+    bb, ss, ll, kk = jax.vmap(
+        jax.vmap(one, in_axes=(0, 0, 0, 0, None)),
+        in_axes=(0, 0, 0, 0, 0))(boxes, scores, loclab, ok, radii)
 
     def flat(x):  # (T, B, post, ...) -> (B, T*post, ...)
         x = jnp.moveaxis(x, 0, 1)

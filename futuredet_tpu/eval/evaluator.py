@@ -37,6 +37,13 @@ def detections_to_predictions(cfg: ExperimentConfig, det: Detections,
     sample_times: optional per-sample list of (T-1) keyframe gaps in seconds
     (the reference computes them from sample timestamps, get_time
     nuscenes.py:57-62); defaults to the nominal 2 Hz spacing."""
+    h = cfg.model.head
+    if h.standard and len(h.tasks) > 1:
+        raise NotImplementedError(
+            "multi-task (class-group) configs emit GLOBAL CLASS ids as "
+            "labels (decode.py), not pseudo-timestep indices — forecast "
+            "linking/eval does not apply to them; evaluate with a "
+            "detection-metric path keyed on class labels instead")
     T = cfg.model.head.target_timesteps
     default_times = [DT] * (T - 1)
     boxes = np.asarray(det.boxes)

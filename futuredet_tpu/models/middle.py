@@ -173,6 +173,10 @@ class SparseMiddleEncoder(nn.Module):
         dense BEV (Y/8, X/8, channels[-1] * Z4)."""
         dense_start = (self.dense_from_stage
                        if self.dense_from_stage is not None else 4)
+        # the Pallas windowed gather has no AD rule — training always takes
+        # the differentiable gather path
+        algo = "loop" if (train and self.gather_algo.startswith("window")) \
+            else self.gather_algo
         grid = make_grid(coords_zyx, voxel_valid, self.grid_zyx)
         # re-sort features to the grid's id order
         sentinel = self.grid_zyx[0] * self.grid_zyx[1] * self.grid_zyx[2]
@@ -214,7 +218,7 @@ class SparseMiddleEncoder(nn.Module):
         else:
             table = neighbor_table(grid, dims)
             x = SparseConv(self.channels[0], use_bias=False,
-                           gather_algo=self.gather_algo,
+                           gather_algo=algo,
                            name="conv_input")(x, table)
             x = MaskedBatchNorm(axis_name=self.axis_name, name="bn_input")(
                 x, grid.valid, train=train)
@@ -222,7 +226,7 @@ class SparseMiddleEncoder(nn.Module):
             for j in range(2):
                 x = SparseBasicBlock(self.channels[0],
                                      axis_name=self.axis_name,
-                                     gather_algo=self.gather_algo,
+                                     gather_algo=algo,
                                      name=f"res0_{j}")(x, table, grid.valid,
                                                        train)
 
@@ -250,7 +254,7 @@ class SparseMiddleEncoder(nn.Module):
                 ngrid = downsample_coords(grid, out_dims, self.vmax[s])
                 dtable = strided_gather_table(grid, ngrid, dims)
                 x = SparseConv(self.channels[s], use_bias=False,
-                               gather_algo=self.gather_algo,
+                               gather_algo=algo,
                                name=f"down{s}")(x, dtable)
                 x = MaskedBatchNorm(axis_name=self.axis_name,
                                     name=f"bn_down{s}")(
@@ -261,7 +265,7 @@ class SparseMiddleEncoder(nn.Module):
                 for j in range(2):
                     x = SparseBasicBlock(self.channels[s],
                                          axis_name=self.axis_name,
-                                         gather_algo=self.gather_algo,
+                                         gather_algo=algo,
                                          name=f"res{s}_{j}")(x, table,
                                                              grid.valid,
                                                              train)

@@ -38,6 +38,9 @@ def make_mesh_2d(n_data: int, n_space: int, devices=None) -> Mesh:
     exchanges ride nearest-neighbor ICI links."""
     if devices is None:
         devices = jax.devices()
+    if n_data * n_space > len(devices):
+        raise ValueError(f"mesh ({n_data} data x {n_space} space) needs "
+                         f"{n_data * n_space} devices, have {len(devices)}")
     devices = np.asarray(devices[:n_data * n_space]).reshape(n_data, n_space)
     return Mesh(devices, (DATA_AXIS, SPACE_AXIS))
 

@@ -84,11 +84,18 @@ def train(cfg: ExperimentConfig, batches: Iterable[dict], *,
     it = prefetch(iter(batches), depth=prefetch_depth) \
         if prefetch_depth > 0 else iter(batches)
     first = next(it)
+    if n_space > 1 and n_space > jax.device_count():
+        raise ValueError(f"n_space={n_space} exceeds the "
+                         f"{jax.device_count()} available devices")
     if n_devices is None:
         # data-mesh size must divide the global batch
         global_batch = int(first["points"].shape[0])
         n_devices = math.gcd(global_batch,
                              jax.device_count() // max(n_space, 1))
+        if n_devices < 1:
+            raise ValueError(
+                f"no data-parallel capacity left: {jax.device_count()} "
+                f"devices / n_space={n_space}")
     if n_space > 1:
         # (data, space) mesh: BEV rows spatially sharded (GSPMD step)
         from ..parallel.mesh import make_mesh_2d
@@ -125,6 +132,22 @@ def train(cfg: ExperimentConfig, batches: Iterable[dict], *,
             pass
 
     buf = MetricBuffer()
+    try:
+        state = _run_loop(cfg, state, step_fn, it, first, start_step,
+                          total_steps, steps_per_epoch, ckpt, hooks, val_fn,
+                          preempted, buf, log_fn)
+    finally:
+        # restore even when the loop raises — a leaked handler would make
+        # the process silently ignore future SIGTERMs
+        for sig, old in olds.items():
+            signal.signal(sig, old)
+    for h in (hooks or ()):
+        h.after_train(state)
+    return state
+
+
+def _run_loop(cfg, state, step_fn, it, first, start_step, total_steps,
+              steps_per_epoch, ckpt, hooks, val_fn, preempted, buf, log_fn):
     t_data = t_step = 0.0
     t0 = time.perf_counter()
     batch = first
@@ -148,10 +171,6 @@ def train(cfg: ExperimentConfig, batches: Iterable[dict], *,
                 ckpt.save(step + 1, jax.device_get(state),
                           {"config": cfg.name, "preempted": True})
                 log_fn(f"preemption checkpoint @ step {step + 1}")
-            for sig, old in olds.items():
-                signal.signal(sig, old)
-            for h in (hooks or ()):
-                h.after_train(state)
             return state
 
         if (step + 1) % cfg.train.log_interval == 0:
@@ -177,8 +196,4 @@ def train(cfg: ExperimentConfig, batches: Iterable[dict], *,
                 ckpt.save(step + 1, jax.device_get(state),
                           {"config": cfg.name, "epoch": epoch})
                 log_fn(f"checkpoint @ step {step + 1} (epoch {epoch})")
-    for sig, old in olds.items():
-        signal.signal(sig, old)
-    for h in (hooks or ()):
-        h.after_train(state)
     return state

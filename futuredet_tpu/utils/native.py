@@ -29,6 +29,19 @@ def _lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(so)
     except OSError:
         return None
+    # a stale prebuilt .so (older csrc) may miss newer entry points — rebuild
+    # once, and fall back to pure numpy rather than crash if still missing
+    required = ("fd_load_sweeps", "fd_voxelize", "fd_shuffle",
+                "fd_accumulate")
+    if not all(hasattr(lib, s) for s in required):
+        try:
+            subprocess.run(["make", "-B", "-C", os.path.abspath(_CSRC)],
+                           check=True, capture_output=True)
+            lib = ctypes.CDLL(so)
+        except Exception:
+            return None
+        if not all(hasattr(lib, s) for s in required):
+            return None
     lib.fd_load_sweeps.restype = ctypes.c_int64
     lib.fd_voxelize.restype = ctypes.c_int64
     return lib

@@ -162,3 +162,56 @@ def test_multitask_train_step_learns():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_multitask_forecast_eval_guard():
+    import pytest
+    from futuredet_tpu.eval.decode import Detections
+    from futuredet_tpu.eval.evaluator import detections_to_predictions
+
+    cfg = mt_cfg()
+    det = Detections(boxes=np.zeros((1, 4, 9), np.float32),
+                     scores=np.zeros((1, 4), np.float32),
+                     labels=np.zeros((1, 4), np.int32),
+                     valid=np.zeros((1, 4), bool))
+    with pytest.raises(NotImplementedError):
+        detections_to_predictions(cfg, det, ["s0"])
+
+
+def test_multitask_circle_nms_per_task_radius():
+    import dataclasses
+    from futuredet_tpu.config import NMSConfig, TestConfig
+    from futuredet_tpu.eval.decode import decode_and_nms
+
+    # two tasks, radically different circle-NMS radii: big radius suppresses
+    # the second of two nearby peaks, tiny radius keeps both
+    cfg = mt_cfg()
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model,
+            head=dataclasses.replace(cfg.model.head,
+                                     tasks=(("car",), ("pedestrian",)))),
+        test=TestConfig(post_center_limit_range=(-100.,) * 3 + (100.,) * 3,
+                        score_threshold=0.05, circular_nms=True,
+                        min_radius=(1000.0, 0.01),
+                        nms=NMSConfig(pre_max_size=64, post_max_size=8)))
+    H, W = cfg.feature_map_size[1], cfg.feature_map_size[0]
+
+    def mk_pred():
+        hm = np.full((1, H, W, 1), -10.0, np.float32)
+        hm[0, 4, 4, 0] = 4.0
+        hm[0, 4, 8, 0] = 3.0     # ~1.6 m away at 0.4 m cells
+        return {"hm": jnp.asarray(hm),
+                "reg": jnp.zeros((1, H, W, 2)),
+                "height": jnp.zeros((1, H, W, 1)),
+                "dim": jnp.zeros((1, H, W, 3)),
+                "rot": jnp.concatenate([jnp.zeros((1, H, W, 1)),
+                                        jnp.ones((1, H, W, 1))], -1),
+                "vel": jnp.zeros((1, H, W, 2))}
+
+    det = decode_and_nms(cfg, [mk_pred(), mk_pred()])
+    post = cfg.test.nms.post_max_size
+    n_task0 = int(np.asarray(det.valid)[0, :post].sum())
+    n_task1 = int(np.asarray(det.valid)[0, post:].sum())
+    assert n_task0 == 1, n_task0   # radius 1000 suppressed the 2nd peak
+    assert n_task1 == 2, n_task1   # radius 0.01 kept both

@@ -111,3 +111,32 @@ def test_detector_window_algo_exact_b1():
                     jax.tree_util.tree_leaves(ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_window_algo_trains_via_downgrade():
+    """Training with gather_algo='window' must auto-downgrade to the
+    differentiable loop path (pallas_call has no AD rule)."""
+    import dataclasses
+    from tests.test_models import rand_points, rand_targets, tiny_cfg
+    from futuredet_tpu.models.detector import build_detector
+    from futuredet_tpu.models.losses import center_head_loss
+
+    cfg = tiny_cfg(1, False, False, detector="voxelnet")
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, middle_gather_algo="window"))
+    model = build_detector(cfg)
+    pts, pv = rand_points(B=1, P=1024)
+    targets = rand_targets(cfg, B=1)
+    variables = model.init(jax.random.PRNGKey(0), pts, pv, train=True)
+
+    def lf(p):
+        preds, _ = model.apply({"params": p,
+                                "batch_stats": variables["batch_stats"]},
+                               pts, pv, train=True, mutable=["batch_stats"])
+        return center_head_loss(cfg.model.head, preds, targets)["loss"]
+
+    loss, grads = jax.value_and_grad(lf)(variables["params"])
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(jnp.sum(jnp.abs(g)))
+                for g in jax.tree_util.tree_leaves(grads))
+    assert gnorm > 0
