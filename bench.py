@@ -60,8 +60,35 @@ def _watchdog(seconds: float = 900.0):
     return t
 
 
+def _relay_alive() -> bool:
+    """Fast axon-relay liveness probe: the tunneled TPU backend dials
+    127.0.0.1 relay ports (/root/.tpu_init.py); if every port refuses, the
+    relay is down and backend init would hang until the watchdog fires."""
+    import os
+    import socket
+
+    if os.environ.get("JAX_PLATFORMS", "") != "axon":
+        return True  # not tunneled — nothing to check
+    for port in (8082, 8083, 8087, 8092, 8093, 8097):
+        s = socket.socket()
+        s.settimeout(1.0)
+        try:
+            s.connect(("127.0.0.1", port))
+            return True
+        except OSError:
+            continue
+        finally:
+            s.close()
+    return False
+
+
 def main():
     _enable_compilation_cache()
+    if not _relay_alive():
+        import sys
+        sys.stderr.write("bench: axon TPU relay is down (all relay ports "
+                         "refused) — aborting instead of hanging\n")
+        raise SystemExit(3)
     watchdog = _watchdog()
     import jax
     import jax.numpy as jnp
