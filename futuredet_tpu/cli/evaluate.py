@@ -114,28 +114,44 @@ def main(argv=None):
     # computing batch i+1 via a depth-2 in-flight queue (JAX async dispatch)
     from collections import deque
 
-    from ..eval.evaluator import detections_to_predictions, \
-        gt_records_from_arrays
+    from ..eval.evaluator import (detections_to_predictions,
+                                  gt_records_from_arrays,
+                                  gt_records_multiclass,
+                                  multitask_detection_records)
     from ..eval.metrics import evaluate_forecasts
 
     fwd = make_eval_forward(cfg)
     infer = jax.jit(lambda p, s, b: decode_and_nms(cfg, fwd(p, s, b)))
+
+    # multi-task class-group configs are detection-only: labels are global
+    # class ids, there is no forecast linking (classic CenterPoint eval)
+    h = cfg.model.head
+    multitask = h.standard and len(h.tasks) > 1
+    eval_classes = (list(cfg.data.class_names) if multitask
+                    else [classname])
 
     preds, gts = [], []
 
     def consume(item):
         det_dev, gt, tokens = item
         det = jax.device_get(det_dev)
-        p = detections_to_predictions(
-            cfg, det, tokens, forecast_mode=args.forecast_mode,
-            classname=classname, rerank=args.rerank, nogroup=args.nogroup,
-            jitter=args.jitter, jitter_K=args.K, jitter_C=args.C,
-            prototypes=prototypes)
+        if multitask:
+            p = multitask_detection_records(cfg, det, tokens)
+            g = gt_records_multiclass(gt["boxes"], gt["valid"],
+                                      gt["classes"], tokens,
+                                      cfg.data.class_names)
+        else:
+            p = detections_to_predictions(
+                cfg, det, tokens, forecast_mode=args.forecast_mode,
+                classname=classname, rerank=args.rerank,
+                nogroup=args.nogroup, jitter=args.jitter, jitter_K=args.K,
+                jitter_C=args.C, prototypes=prototypes)
+            g = gt_records_from_arrays(gt["boxes"], gt["valid"],
+                                       gt.get("traj"), tokens, classname)
         for x in p:
             x.yaw = float(-x.yaw - np.pi / 2)
         preds.extend(p)
-        gts.extend(gt_records_from_arrays(gt["boxes"], gt["valid"],
-                                          gt.get("traj"), tokens, classname))
+        gts.extend(g)
 
     inflight = deque()
     for b in eval_batches:
@@ -148,7 +164,7 @@ def main(argv=None):
     while inflight:
         consume(inflight.popleft())
     results = evaluate_forecasts(
-        preds, gts, [classname], tp_pct=args.tp_pct,
+        preds, gts, eval_classes, tp_pct=args.tp_pct,
         cohort_analysis=args.cohort_analysis, topk=args.K,
         static_only=args.static_only,
         association_oracle=args.association_oracle)

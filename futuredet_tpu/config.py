@@ -298,6 +298,21 @@ def get_config(name: str) -> ExperimentConfig:
     elif key == "forecast_n3dtfm":
         cfg = _base(classname, 7, dense=True, forecast_feats=True,
                     sampler_type="trajectory", detector=detector, bev_map=True)
+    elif key == "centerpoint_multitask":
+        # classic CenterPoint: classes partitioned into per-SepHead groups
+        # (ref center_head.py:321-323; standard nuScenes task split).
+        # Detection-only — evaluated with the class-labeled metric path.
+        cfg = _base("car", 1, dense=False, forecast_feats=False,
+                    sampler_type="standard", detector=detector)
+        tasks = (("car",), ("truck", "construction_vehicle"),
+                 ("bus", "trailer"), ("barrier",),
+                 ("motorcycle", "bicycle"), ("pedestrian", "traffic_cone"))
+        names = tuple(n for t in tasks for n in t)
+        cfg = cfg.replace(
+            model=dataclasses.replace(
+                cfg.model,
+                head=dataclasses.replace(cfg.model.head, tasks=tasks)),
+            data=dataclasses.replace(cfg.data, class_names=names))
     else:
         raise KeyError(f"unknown config name: {name}")
     return cfg.replace(name=name)
@@ -308,6 +323,7 @@ CONFIG_NAMES = [
     "pedestrian_forecast_n0", "pedestrian_forecast_n3",
     "pedestrian_forecast_n3dtf", "pedestrian_forecast_n3dtfm",
     "pp_forecast_n3dtf", "pp_pedestrian_forecast_n3dtf",
+    "centerpoint_multitask", "pp_centerpoint_multitask",
 ]
 
 

@@ -77,6 +77,52 @@ def detections_to_predictions(cfg: ExperimentConfig, det: Detections,
     return out
 
 
+def multitask_detection_records(cfg: ExperimentConfig, det: Detections,
+                                sample_tokens: Sequence[str]
+                                ) -> List[PredRecord]:
+    """Detection-only records for multi-task class-group configs: labels are
+    GLOBAL CLASS ids (decode.py multi-task branch), trajectories are the
+    single current timestep (classic CenterPoint evaluation regime)."""
+    names = list(cfg.data.class_names)
+    boxes = np.asarray(det.boxes)
+    scores = np.asarray(det.scores)
+    labels = np.asarray(det.labels)
+    valid = np.asarray(det.valid)
+    out: List[PredRecord] = []
+    for b, tok in enumerate(sample_tokens):
+        for i in np.nonzero(valid[b])[0]:
+            box = boxes[b, i]
+            s = float(scores[b, i])
+            out.append(PredRecord(
+                sample=tok, centers=box[None, :2].copy(),
+                size=box[3:6].copy(), yaw=float(box[8]),
+                vel=box[6:8].copy(), det_score=s, forecast_score=s,
+                forecast_id=-1, classname=names[int(labels[b, i])]))
+    return out
+
+
+def gt_records_multiclass(gt_boxes, gt_valid, gt_classes,
+                          sample_tokens: Sequence[str],
+                          class_names: Sequence[str]) -> List[GTRecord]:
+    """Per-class GTRecords at the current timestep (multi-task detection
+    eval). gt_classes (B, T, M) 1-based global class ids."""
+    out: List[GTRecord] = []
+    B, T, M, _ = gt_boxes.shape
+    for b in range(B):
+        for k in range(M):
+            if not gt_valid[b, 0, k]:
+                continue
+            cls = int(gt_classes[b, 0, k])
+            if not (1 <= cls <= len(class_names)):
+                continue
+            box = gt_boxes[b, 0, k]
+            out.append(GTRecord(
+                sample=sample_tokens[b], centers=box[None, :2].copy(),
+                size=box[3:6].copy(), yaw=float(-box[10] - np.pi / 2),
+                vel=box[6:8].copy(), classname=class_names[cls - 1]))
+    return out
+
+
 def gt_records_from_arrays(gt_boxes, gt_valid, traj_classes,
                            sample_tokens: Sequence[str],
                            classname: str = "car") -> List[GTRecord]:

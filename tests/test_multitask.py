@@ -215,3 +215,52 @@ def test_multitask_circle_nms_per_task_radius():
     n_task1 = int(np.asarray(det.valid)[0, post:].sum())
     assert n_task0 == 1, n_task0   # radius 1000 suppressed the 2nd peak
     assert n_task1 == 2, n_task1   # radius 0.01 kept both
+
+
+def test_multitask_detection_eval_perfect_predictions():
+    """Exact echo of multi-class GT as detections -> per-class mAP == 1."""
+    from futuredet_tpu.eval.decode import Detections
+    from futuredet_tpu.eval.evaluator import (gt_records_multiclass,
+                                              multitask_detection_records)
+    from futuredet_tpu.eval.metrics import evaluate_forecasts
+
+    cfg = mt_cfg()
+    rng = np.random.default_rng(0)
+    B, M = 3, 12
+    boxes = np.zeros((B, 1, M, 12), np.float32)
+    classes = np.zeros((B, 1, M), np.int64)
+    valid = np.zeros((B, 1, M), bool)
+    for b in range(B):
+        n = 8
+        boxes[b, 0, :n, :2] = rng.uniform(-7, 7, (n, 2))
+        boxes[b, 0, :n, 3:6] = rng.uniform(1, 3, (n, 3))
+        boxes[b, 0, :n, 10] = rng.uniform(-np.pi, np.pi, n)
+        classes[b, 0, :n] = rng.integers(1, len(NAMES) + 1, n)
+        valid[b, 0, :n] = True
+
+    # detections = the GT echoed back, labels = global class - 1
+    N = M
+    dboxes = np.zeros((B, N, 9), np.float32)
+    dboxes[:, :, :2] = boxes[:, 0, :, :2]
+    dboxes[:, :, 2] = boxes[:, 0, :, 2]
+    dboxes[:, :, 3:6] = boxes[:, 0, :, 3:6]
+    dboxes[:, :, 6:8] = boxes[:, 0, :, 6:8]
+    dboxes[:, :, 8] = boxes[:, 0, :, 10]   # stored-convention yaw
+    det = Detections(
+        boxes=dboxes,
+        scores=rng.uniform(0.5, 1.0, (B, N)).astype(np.float32),
+        labels=np.maximum(classes[:, 0] - 1, 0).astype(np.int32),
+        valid=valid[:, 0])
+
+    tokens = [f"s{b}" for b in range(B)]
+    preds = multitask_detection_records(cfg, det, tokens)
+    for p in preds:
+        p.yaw = float(-p.yaw - np.pi / 2)
+    gts = gt_records_multiclass(boxes, valid, classes, tokens, NAMES)
+    res = evaluate_forecasts(preds, gts, list(NAMES))
+
+    present = {g.classname for g in gts}
+    for cls in present:
+        assert res.mean_dist_aps[cls] > 0.97, (cls, res.mean_dist_aps[cls])
+        e = res.label_tp_errors[cls]
+        assert e["trans_err"] < 1e-3 and e["orient_err"] < 1e-3, e
