@@ -40,6 +40,9 @@ def parse_args(argv=None):
                    help="snap trajectories to train-set prototypes "
                         "({classname}_trajectory.pkl from cli.tools)")
     p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--space", type=int, default=1,
+                   help="spatial mesh axis: shard BEV rows over this many "
+                        "devices during inference (GSPMD halo exchanges)")
     p.add_argument("--out", default=None, help="metrics json path")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true",
@@ -120,7 +123,12 @@ def main(argv=None):
                                   multitask_detection_records)
     from ..eval.metrics import evaluate_forecasts
 
-    fwd = make_eval_forward(cfg)
+    mesh = None
+    if args.space > 1:
+        from ..parallel.mesh import make_mesh_2d
+        mesh = make_mesh_2d(max(jax.device_count() // args.space, 1),
+                            args.space)
+    fwd = make_eval_forward(cfg, mesh)
     infer = jax.jit(lambda p, s, b: decode_and_nms(cfg, fwd(p, s, b)))
 
     # multi-task class-group configs are detection-only: labels are global
