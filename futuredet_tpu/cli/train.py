@@ -32,6 +32,9 @@ def parse_args(argv=None):
     p.add_argument("--work_dir", default=None)
     p.add_argument("--resume_from", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--autoscale_lr", action="store_true",
+                   help="scale lr_max linearly by the data-mesh size "
+                        "(ref tools/train.py:94-95)")
     p.add_argument("--space", type=int, default=1,
                    help="spatial mesh axis size: shard BEV rows over this "
                         "many devices (GSPMD halo exchanges)")
@@ -59,6 +62,14 @@ def main(argv=None):
             total_epochs=args.epochs, optim=cfg.train.optim, seed=args.seed,
             log_interval=cfg.train.log_interval,
             checkpoint_interval_epochs=cfg.train.checkpoint_interval_epochs))
+
+    if args.autoscale_lr:
+        import dataclasses as _dc
+        import jax as _jax
+        n_data = max(_jax.device_count() // max(args.space, 1), 1)
+        cfg = cfg.replace(train=_dc.replace(
+            cfg.train, optim=_dc.replace(
+                cfg.train.optim, lr_max=cfg.train.optim.lr_max * n_data)))
 
     work_dir = args.work_dir or os.path.abspath(
         f"models/{args.experiment}/{args.dataset}_{args.architecture}_"
