@@ -58,3 +58,62 @@ def infer_double_flip(cfg: ExperimentConfig, forward: Callable,
         scores=jnp.concatenate([d.scores for d in parts], 1),
         labels=jnp.concatenate([d.labels for d in parts], 1),
         valid=jnp.concatenate([d.valid for d in parts], 1))
+
+
+def unflip_pred_maps(pd, fy: bool, fx: bool):
+    """Transform one head dict's NHWC maps from a flipped input frame back
+    to the canonical frame (the reference's map-average double flip,
+    CenterHead.predict double_flip handling).
+
+    BEV row h of the flipped frame corresponds to canonical row H-1-h with
+    sub-cell offset 1-reg_y (and likewise for columns); y components of
+    velocities negate; yaw -> -yaw under a y flip (sin negates) and
+    yaw -> pi - yaw under an x flip (cos negates).
+    """
+    out = {}
+    for k, v in pd.items():
+        if k == "feats":
+            continue
+        if fy:
+            v = jnp.flip(v, axis=1)
+        if fx:
+            v = jnp.flip(v, axis=2)
+        out[k] = v
+    if fy:
+        if "reg" in out:
+            out["reg"] = out["reg"].at[..., 1].multiply(-1.0).at[..., 1].add(1.0)
+        for vk in ("vel", "rvel"):
+            if vk in out:
+                out[vk] = out[vk].at[..., 1::2].multiply(-1.0)
+        for rk in ("rot", "rrot"):
+            if rk in out:
+                out[rk] = out[rk].at[..., 0].multiply(-1.0)   # sin(-yaw)
+    if fx:
+        if "reg" in out:
+            out["reg"] = out["reg"].at[..., 0].multiply(-1.0).at[..., 0].add(1.0)
+        for vk in ("vel", "rvel"):
+            if vk in out:
+                out[vk] = out[vk].at[..., 0::2].multiply(-1.0)
+        for rk in ("rot", "rrot"):
+            if rk in out:
+                out[rk] = out[rk].at[..., 1].multiply(-1.0)   # cos(pi-yaw)
+    return out
+
+
+def infer_double_flip_map(cfg: ExperimentConfig, forward: Callable,
+                          points, points_valid) -> Detections:
+    """Map-average double flip (the reference's formulation): run the four
+    flips, unflip each head's RAW maps back to the canonical frame, average
+    the logits/regressions, decode + NMS once. Unlike the box-level
+    ensemble this keeps the standard detection count."""
+    acc = None
+    for fy, fx in FLIPS:
+        preds = forward(_flip_points(points, fy, fx), points_valid)
+        preds = [unflip_pred_maps(pd, fy, fx) for pd in preds]
+        if acc is None:
+            acc = preds
+        else:
+            acc = [jax.tree.map(lambda a, b: a + b, a_, p_)
+                   for a_, p_ in zip(acc, preds)]
+    acc = [jax.tree.map(lambda a: a / len(FLIPS), pd) for pd in acc]
+    return decode_and_nms(cfg, acc)

@@ -180,3 +180,81 @@ def test_proposal_targets_and_two_stage_loss():
     bad = two_stage_loss(-logits, resid, jnp.asarray(props), jnp.asarray(gt),
                          jnp.asarray(gt_valid), jnp.ones((1, 2), bool))
     assert float(bad["loss"]) > float(losses["loss"])
+
+
+def test_map_unflip_decode_consistency():
+    """decode(unflip_maps(pred)) == unflip_boxes(decode(pred)) cell-by-cell:
+    validates the map-average double-flip transforms (eval/tta.py)."""
+    import itertools
+
+    import jax.numpy as jnp
+    from futuredet_tpu.eval.decode import decode_single
+    from futuredet_tpu.eval.tta import unflip_pred_maps
+    from tests.test_models import tiny_cfg
+
+    cfg = tiny_cfg(1, False, False)
+    W, H = cfg.feature_map_size
+    rng = np.random.default_rng(0)
+
+    def mk():
+        return {
+            "hm": jnp.asarray(rng.normal(size=(1, H, W, 1)).astype(np.float32)),
+            "reg": jnp.asarray(rng.uniform(0, 1, (1, H, W, 2)).astype(np.float32)),
+            "height": jnp.asarray(rng.normal(size=(1, H, W, 1)).astype(np.float32)),
+            "dim": jnp.asarray(rng.normal(size=(1, H, W, 3)).astype(np.float32)),
+            "rot": jnp.asarray(rng.normal(size=(1, H, W, 2)).astype(np.float32)),
+            "vel": jnp.asarray(rng.normal(size=(1, H, W, 2)).astype(np.float32)),
+        }
+
+    for fy, fx in itertools.product([False, True], repeat=2):
+        pd = mk()
+        bu, hu = decode_single(unflip_pred_maps(pd, fy, fx), cfg)
+        bf, hf = decode_single(pd, cfg)
+        bu = np.asarray(bu).reshape(H, W, 9)
+        bf = np.asarray(bf).reshape(H, W, 9)
+        hu = np.asarray(hu).reshape(H, W, -1)
+        hfl = np.asarray(hf).reshape(H, W, -1)
+
+        src = bf.copy()
+        if fy:
+            src = src[::-1]
+            hfl = hfl[::-1]
+        if fx:
+            src = src[:, ::-1]
+            hfl = hfl[:, ::-1]
+        exp = src.copy()
+        if fy:
+            exp[..., 1] *= -1          # y
+            exp[..., 7] *= -1          # vy
+            exp[..., 8] *= -1          # yaw -> -yaw
+        if fx:
+            exp[..., 0] *= -1          # x
+            exp[..., 6] *= -1          # vx
+            exp[..., 8] = np.pi - exp[..., 8]
+        # wrap yaw to (-pi, pi] for comparison
+        du = (bu[..., 8] - exp[..., 8] + np.pi) % (2 * np.pi) - np.pi
+        np.testing.assert_allclose(du, 0, atol=1e-5)
+        np.testing.assert_allclose(bu[..., :8], exp[..., :8], atol=1e-4)
+        np.testing.assert_allclose(hu, hfl, atol=1e-6)
+
+
+def test_double_flip_map_average_e2e():
+    import jax
+    from futuredet_tpu.eval.tta import infer_double_flip_map
+    from futuredet_tpu.models.detector import build_detector
+    from tests.test_models import rand_points, tiny_cfg
+
+    cfg = tiny_cfg(1, False, False)
+    model = build_detector(cfg)
+    pts, pv = rand_points(B=1, P=1024)
+    variables = model.init(jax.random.PRNGKey(0), pts, pv, train=False)
+
+    def fwd(p, v):
+        return model.apply(variables, p, v, train=False)
+
+    det = infer_double_flip_map(cfg, fwd, pts, pv)
+    assert det.boxes.shape[0] == 1
+    # standard detection slot count (not 4x like the box-level ensemble)
+    T = cfg.model.head.target_timesteps
+    assert det.boxes.shape[1] == T * cfg.test.nms.post_max_size
+    assert np.isfinite(np.asarray(det.boxes)).all()
