@@ -43,6 +43,10 @@ def parse_args(argv=None):
     p.add_argument("--space", type=int, default=1,
                    help="spatial mesh axis: shard BEV rows over this many "
                         "devices during inference (GSPMD halo exchanges)")
+    p.add_argument("--tta", default="none", choices=["none", "map", "box"],
+                   help="double-flip test-time augmentation: 'map' averages "
+                        "unflipped head maps (reference formulation), 'box' "
+                        "ensembles per-flip detections")
     p.add_argument("--out", default=None, help="metrics json path")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true",
@@ -129,7 +133,16 @@ def main(argv=None):
         mesh = make_mesh_2d(max(jax.device_count() // args.space, 1),
                             args.space)
     fwd = make_eval_forward(cfg, mesh)
-    infer = jax.jit(lambda p, s, b: decode_and_nms(cfg, fwd(p, s, b)))
+    if args.tta != "none":
+        from ..eval.tta import infer_double_flip, infer_double_flip_map
+        tta_fn = (infer_double_flip_map if args.tta == "map"
+                  else infer_double_flip)
+        infer = jax.jit(lambda p, s, b: tta_fn(
+            cfg, lambda pts, pv: fwd(p, s, {"points": pts,
+                                            "points_valid": pv}),
+            b["points"], b["points_valid"]))
+    else:
+        infer = jax.jit(lambda p, s, b: decode_and_nms(cfg, fwd(p, s, b)))
 
     # multi-task class-group configs are detection-only: labels are global
     # class ids, there is no forecast linking (classic CenterPoint eval)
