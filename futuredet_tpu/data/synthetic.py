@@ -18,6 +18,15 @@ from ..core.trajectory import LINEAR, NONLINEAR, STATIC
 
 DT = 0.5  # seconds between keyframes (2 Hz, ref README 3s horizon / 7 steps)
 
+# per-class size priors (w, l, h) ~ nuScenes means, for multi-class scenes
+CLASS_SIZES = {
+    "car": (1.9, 4.6, 1.7), "truck": (2.5, 6.9, 2.8), "bus": (2.9, 11.0, 3.5),
+    "trailer": (2.9, 12.3, 3.9), "construction_vehicle": (2.8, 6.4, 3.2),
+    "pedestrian": (0.67, 0.73, 1.77), "motorcycle": (0.77, 2.1, 1.5),
+    "bicycle": (0.6, 1.7, 1.3), "barrier": (2.5, 0.5, 1.0),
+    "traffic_cone": (0.41, 0.41, 1.07),
+}
+
 
 @dataclass
 class Scene:
@@ -46,10 +55,20 @@ def make_scene(cfg: ExperimentConfig, n_objects: int = 12,
     traj = np.zeros((M,), np.int32)
 
     pts_list = []
+    names = list(cfg.data.class_names)
     for k in range(n_objects):
         cx, cy = rng.uniform(-span, span, 2)
         cz = rng.uniform(-1.5, -0.5)
-        w, l, h = rng.uniform(1.6, 2.2), rng.uniform(3.8, 5.2), rng.uniform(1.4, 1.9)
+        # multi-class configs sample a class per object with its size prior;
+        # single-class keeps the original car-like distribution
+        cls_id = 1 if len(names) <= 1 else int(rng.integers(1, len(names) + 1))
+        if len(names) > 1:
+            bw, bl, bh = CLASS_SIZES.get(names[cls_id - 1], (1.9, 4.6, 1.7))
+            w, l, h = (bw * rng.uniform(0.9, 1.1), bl * rng.uniform(0.9, 1.1),
+                       bh * rng.uniform(0.9, 1.1))
+        else:
+            w, l, h = (rng.uniform(1.6, 2.2), rng.uniform(3.8, 5.2),
+                       rng.uniform(1.4, 1.9))
         yaw = rng.uniform(-np.pi, np.pi)
         kind = rng.choice([STATIC, LINEAR, NONLINEAR], p=[0.4, 0.4, 0.2])
         speed = 0.0 if kind == STATIC else rng.uniform(*speed_range)
@@ -62,7 +81,7 @@ def make_scene(cfg: ExperimentConfig, n_objects: int = 12,
             vel = speed * np.array([np.cos(ang), np.sin(ang)])
             gt_boxes[t, k] = [pos[0], pos[1], cz, w, l, h, vel[0], vel[1],
                               vel[0], vel[1], -ang - np.pi / 2, -ang - np.pi / 2]
-            gt_classes[t, k] = 1
+            gt_classes[t, k] = cls_id
             gt_valid[t, k] = True
             pos = pos + vel * DT
             ang = ang + turn * DT
