@@ -355,19 +355,30 @@ def evaluate_forecasts(preds: List[PredRecord], gts: List[GTRecord],
         def gt_class(g):
             return f"{g.cohort}_{g.classname}"
 
-        def pred_classes(p):
-            # predictions self-classify by their own predicted motion, with
-            # the same static/linear/nonlinear rule used for GT tracklets
-            c = classify_cohort(p.centers, p.vel, p.size, horizon_seconds)
-            return [f"{c}_{p.classname}"]
+        # predictions self-classify by their own predicted motion, with the
+        # same static/linear/nonlinear rule used for GT tracklets —
+        # vectorized once over all predictions (it dominated eval time when
+        # recomputed per cohort class)
+        if preds:
+            c0 = np.stack([p.centers[0] for p in preds])
+            ct = np.stack([p.centers[-1] for p in preds])
+            vel = np.stack([p.vel for p in preds])
+            th = np.stack([max(p.size[0], p.size[1]) for p in preds])
+            static = np.linalg.norm(ct - c0, axis=1) < th
+            linear = np.linalg.norm(
+                ct - (c0 + vel * horizon_seconds), axis=1) < th
+            cohort_idx = np.where(static, 0, np.where(linear, 1, 2))
+            pred_names = [f"{COHORTS[c]}_{p.classname}"
+                          for p, c in zip(preds, cohort_idx)]
+        else:
+            pred_names = []
     else:
         eval_classes = list(class_names)
 
         def gt_class(g):
             return g.classname
 
-        def pred_classes(p):
-            return [p.classname]
+        pred_names = [p.classname for p in preds]
 
     if static_only:
         gts = [g for g in gts if g.cohort == "static"]
@@ -378,7 +389,7 @@ def evaluate_forecasts(preds: List[PredRecord], gts: List[GTRecord],
 
     for cls in eval_classes:
         cls_gts = [g for g in gts if gt_class(g) == cls]
-        cls_preds = [p for p in preds if cls in pred_classes(p)]
+        cls_preds = [p for p, n in zip(preds, pred_names) if n == cls]
 
         # precomputed structures shared across all ~40 passes of this class
         units_det, key_det = _make_units(cls_preds, False, topk)
