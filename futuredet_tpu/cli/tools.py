@@ -8,6 +8,9 @@
   compare     — diff two checkpoints' parameters (ref `compare.py:5-19`)
   visualize   — render GT vs predicted forecasts to a BEV png per sample
                 (ref `/root/reference/visualize.py`, matplotlib-lite)
+  export      — serialize the jitted inference forward (StableHLO via
+                jax.export) for AOT serving; no reference equivalent (torch
+                has no deployment artifact in the repo)
 
   python -m futuredet_tpu.cli.tools trajectory --info_path infos.pkl
 """
@@ -127,6 +130,47 @@ def cmd_visualize(args):
     logging.info("wrote %d visualizations to %s", n, args.out_dir)
 
 
+def cmd_export(args):
+    """Export the model's jitted forward+decode as a serialized StableHLO
+    artifact (jax.export). The artifact embeds the lowering platform — run
+    the export on the deployment target (TPU for serving)."""
+    import jax
+    from jax import export as jexport
+    import jax.numpy as jnp
+
+    from ..config import get_config, tiny_variant
+    from ..eval.decode import decode_and_nms
+    from ..models.detector import build_detector
+
+    cfg = get_config(args.model)
+    if args.tiny:
+        cfg = tiny_variant(cfg)
+    model = build_detector(cfg)
+    P = cfg.voxel.max_points
+    pts = jnp.zeros((args.batch_size, P, 5), jnp.float32)
+    pv = jnp.zeros((args.batch_size, P), bool)
+    variables = jax.jit(lambda r: model.init(r, pts, pv, train=False))(
+        jax.random.PRNGKey(0))
+
+    def fwd(variables, pts, pv):
+        det = decode_and_nms(cfg, model.apply(variables, pts, pv,
+                                              train=False))
+        return det.boxes, det.scores, det.labels, det.valid
+
+    exp = jexport.export(jax.jit(fwd))(variables, pts, pv)
+    blob = exp.serialize()
+    out = args.out or f"{args.model}.stablehlo"
+    with open(out, "wb") as f:
+        f.write(blob)
+    logging.info("exported %s (%d bytes, platform %s) to %s",
+                 args.model, len(blob), exp.platforms, out)
+    if args.check:
+        rt = jexport.deserialize(blob)
+        outs = rt.call(variables, pts, pv)
+        logging.info("roundtrip check ok: boxes %s", outs[0].shape)
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="FutureDet-TPU tools")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -148,10 +192,19 @@ def main(argv=None):
     v.add_argument("--out_dir", default=".")
     v.add_argument("--max_samples", type=int, default=20)
 
+    e = sub.add_parser("export")
+    e.add_argument("--model", default="pp_forecast_n3dtf")
+    e.add_argument("--batch_size", type=int, default=1)
+    e.add_argument("--out", default=None)
+    e.add_argument("--tiny", action="store_true")
+    e.add_argument("--check", action="store_true",
+                   help="deserialize and run the artifact once")
+
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, force=True)
     return {"trajectory": cmd_trajectory, "statistics": cmd_statistics,
-            "compare": cmd_compare, "visualize": cmd_visualize}[args.cmd](args)
+            "compare": cmd_compare, "visualize": cmd_visualize,
+            "export": cmd_export}[args.cmd](args)
 
 
 if __name__ == "__main__":

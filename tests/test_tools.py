@@ -103,3 +103,13 @@ def test_flops_counter():
     out = model_flops(tiny_cfg(1, False, False))
     assert out["flops"] > 1e6
     assert out["bytes_accessed"] > 0
+
+
+def test_export_roundtrip(tmp_path):
+    from futuredet_tpu.cli.tools import main
+
+    out = str(tmp_path / "m.stablehlo")
+    path = main(["export", "--model", "forecast_n0", "--tiny",
+                 "--out", out, "--check"])
+    import os
+    assert path == out and os.path.getsize(out) > 10000
