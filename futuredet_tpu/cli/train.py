@@ -32,6 +32,9 @@ def parse_args(argv=None):
     p.add_argument("--work_dir", default=None)
     p.add_argument("--resume_from", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--val_synthetic", type=int, default=0,
+                   help="run a per-epoch validation eval on N synthetic "
+                        "samples (ref Trainer.val workflow)")
     p.add_argument("--autoscale_lr", action="store_true",
                    help="scale lr_max linearly by the data-mesh size "
                         "(ref tools/train.py:94-95)")
@@ -99,16 +102,45 @@ def main(argv=None):
                                                  seed=args.seed))
         steps_per_epoch = max(len(ds) // batch_size, 1)
 
+    val_fn = None
+    if args.val_synthetic:
+        # per-epoch validation (ref Trainer.val + workflow [('train',1),
+        # ('val',1)]): device inference + linking + joint metrics on a
+        # fixed synthetic val split
+        import jax as _jax
+        from ..data.synthetic import make_batch
+        from ..eval.decode import decode_and_nms
+        from ..eval.evaluator import evaluate_detections
+        from ..train.step import make_eval_forward
+
+        vb = make_batch(cfg, max(args.val_synthetic, 1), seed=10_000)
+        vfwd = make_eval_forward(cfg)
+
+        def val_fn(state):
+            det = _jax.device_get(decode_and_nms(
+                cfg, vfwd(state.params, state.batch_stats, vb)))
+            res = evaluate_detections(
+                cfg, det, vb["gt"],
+                [f"v{i}" for i in range(vb["points"].shape[0])],
+                forecast_mode="velocity_constant"
+                if cfg.model.head.standard else "velocity_dense",
+                classname=cfg.data.class_names[0])
+            import numpy as _np
+            return {"mAP": round(float(_np.mean(
+                        list(res.mean_dist_aps.values()))), 4),
+                    "mFAP": round(float(_np.mean(
+                        list(res.mean_dist_faps.values()))), 4)}
+
     if args.profile:
         from ..utils.profiling import trace
         with trace(args.profile):
             state = train(cfg, batches, steps_per_epoch=steps_per_epoch,
                           work_dir=work_dir, n_space=args.space,
-                          resume=args.resume_from)
+                          val_fn=val_fn, resume=args.resume_from)
     else:
         state = train(cfg, batches, steps_per_epoch=steps_per_epoch,
                       work_dir=work_dir, n_space=args.space,
-                      resume=args.resume_from)
+                      val_fn=val_fn, resume=args.resume_from)
     logging.info("training done at step %d; checkpoints in %s",
                  int(state.step), work_dir)
     return state
