@@ -43,6 +43,13 @@ def parse_args(argv=None):
     p.add_argument("--space", type=int, default=1,
                    help="spatial mesh axis: shard BEV rows over this many "
                         "devices during inference (GSPMD halo exchanges)")
+    p.add_argument("--extractBox", action="store_true",
+                   help="save the decoded detections to a pkl after "
+                        "inference (ref tools/dist_test.py:156,252)")
+    p.add_argument("--eval_only", action="store_true",
+                   help="skip inference and evaluate a saved detections pkl")
+    p.add_argument("--predictions_path", default=None,
+                   help="pkl path for --extractBox / --eval_only")
     p.add_argument("--tta", default="none", choices=["none", "map", "box"],
                    help="double-flip test-time augmentation: 'map' averages "
                         "unflipped head maps (reference formulation), 'box' "
@@ -152,10 +159,14 @@ def main(argv=None):
                     else [classname])
 
     preds, gts = [], []
+    saved = []
+    pred_path = args.predictions_path or f"prediction_{args.model}.pkl"
 
     def consume(item):
         det_dev, gt, tokens = item
         det = jax.device_get(det_dev)
+        if args.extractBox:
+            saved.append((det, gt, tokens))
         if multitask:
             p = multitask_detection_records(cfg, det, tokens)
             g = gt_records_multiclass(gt["boxes"], gt["valid"],
@@ -174,16 +185,29 @@ def main(argv=None):
         preds.extend(p)
         gts.extend(g)
 
-    inflight = deque()
-    for b in eval_batches:
-        batch = {k: v for k, v in b.items()
-                 if k in ("points", "points_valid")}
-        det_dev = infer(state.params, state.batch_stats, batch)
-        inflight.append((det_dev, b["gt"], b["tokens"]))
-        while len(inflight) >= 2:
+    if args.eval_only:
+        # re-evaluate previously extracted detections (ref evaluate.py's
+        # eval_only path: dist_test skips the model entirely)
+        import pickle
+        with open(pred_path, "rb") as f:
+            for item in pickle.load(f):
+                consume(item)
+    else:
+        inflight = deque()
+        for b in eval_batches:
+            batch = {k: v for k, v in b.items()
+                     if k in ("points", "points_valid")}
+            det_dev = infer(state.params, state.batch_stats, batch)
+            inflight.append((det_dev, b["gt"], b["tokens"]))
+            while len(inflight) >= 2:
+                consume(inflight.popleft())
+        while inflight:
             consume(inflight.popleft())
-    while inflight:
-        consume(inflight.popleft())
+        if args.extractBox:
+            import pickle
+            with open(pred_path, "wb") as f:
+                pickle.dump(saved, f)
+            logging.info("detections saved to %s", pred_path)
     results = evaluate_forecasts(
         preds, gts, eval_classes, tp_pct=args.tp_pct,
         cohort_analysis=args.cohort_analysis, topk=args.K,
