@@ -50,6 +50,10 @@ def parse_args(argv=None):
                    help="skip inference and evaluate a saved detections pkl")
     p.add_argument("--predictions_path", default=None,
                    help="pkl path for --extractBox / --eval_only")
+    p.add_argument("--speed_test", action="store_true",
+                   help="report mean per-sample inference latency over the "
+                        "middle third of the eval set "
+                        "(ref tools/dist_test.py:204-240)")
     p.add_argument("--tta", default="none", choices=["none", "map", "box"],
                    help="double-flip test-time augmentation: 'map' averages "
                         "unflipped head maps (reference formulation), 'box' "
@@ -193,16 +197,33 @@ def main(argv=None):
             for item in pickle.load(f):
                 consume(item)
     else:
+        import time as _time
+
+        n_b = len(eval_batches)
+        lo_t, hi_t = n_b // 3, max(2 * n_b // 3, n_b // 3 + 1)
+        lat = []
         inflight = deque()
-        for b in eval_batches:
+        for bi, b in enumerate(eval_batches):
             batch = {k: v for k, v in b.items()
                      if k in ("points", "points_valid")}
+            t0 = _time.perf_counter()
             det_dev = infer(state.params, state.batch_stats, batch)
+            if args.speed_test and lo_t <= bi < hi_t:
+                # synchronous latency probe over the middle third
+                # (ref dist_test.py:204-240); device_get forces completion
+                det_dev = jax.device_get(det_dev)
+                lat.append((_time.perf_counter() - t0)
+                           / batch["points"].shape[0])
             inflight.append((det_dev, b["gt"], b["tokens"]))
             while len(inflight) >= 2:
                 consume(inflight.popleft())
         while inflight:
             consume(inflight.popleft())
+        if args.speed_test and lat:
+            logging.info("speed test: %.1f ms/sample over %d middle-third "
+                         "batches (%.1f samples/s)",
+                         1e3 * float(np.mean(lat)), len(lat),
+                         1.0 / float(np.mean(lat)))
         if args.extractBox:
             import pickle
             with open(pred_path, "wb") as f:
