@@ -140,3 +140,16 @@ def test_window_algo_trains_via_downgrade():
     gnorm = sum(float(jnp.sum(jnp.abs(g)))
                 for g in jax.tree_util.tree_leaves(grads))
     assert gnorm > 0
+
+
+def test_window_default_geometry():
+    """Production parameters (W=1024, B=512) on a mid-size site set."""
+    grid, feats, dims = _scene(8, dims=(12, 40, 40), n=3000, V=4096, C=8)
+    rng = np.random.default_rng(9)
+    w = jnp.asarray((rng.normal(size=(27, 8, 8)) * 0.1).astype(np.float32))
+    table = SC.neighbor_table(grid, dims)
+    ref = SC.subm_conv_apply(feats, table, w, algo="loop")
+    out = subm_conv_window(feats, table, w,  # defaults W=1024, B=512
+                           compute_dtype=jnp.float32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert not bool(window_overflow(table, feats.shape[0]))
