@@ -96,9 +96,24 @@ def main():
     from futuredet_tpu.eval.decode import decode_and_nms
     from futuredet_tpu.models.detector import build_detector
 
-    cfg = get_config("pp_forecast_n3dtf")
+    import os
+
+    # experiment overrides (e.g. sweeping the sparse-conv strategies on the
+    # voxelnet path): BENCH_MODEL=forecast_n3dtf BENCH_GATHER=window_bf16
+    # BENCH_DENSE_FROM=2 python bench.py. Defaults = the recorded flagship.
+    model_name = os.environ.get("BENCH_MODEL", "pp_forecast_n3dtf")
+    cfg = get_config(model_name)
     cfg = cfg.replace(voxel=dataclasses.replace(
         cfg.voxel, max_points=150000, max_voxels_eval=30000))
+    mupd = {}
+    if os.environ.get("BENCH_GATHER"):
+        mupd["middle_gather_algo"] = os.environ["BENCH_GATHER"]
+    if os.environ.get("BENCH_DENSE_FROM"):
+        mupd["middle_dense_from_stage"] = int(os.environ["BENCH_DENSE_FROM"])
+    if os.environ.get("BENCH_DENSE_DTYPE"):
+        mupd["middle_dense_dtype"] = os.environ["BENCH_DENSE_DTYPE"]
+    if mupd:
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, **mupd))
     model = build_detector(cfg)
 
     rng = np.random.default_rng(0)
