@@ -95,12 +95,19 @@ def main(argv=None):
                 "no dataset: pass --info_path <infos pkl> or --synthetic N")
         from ..data.pipeline import NuScenesForecastDataset, \
             batches_from_dataset
+        import jax as _jax
+
         ds = NuScenesForecastDataset(cfg, args.info_path, train=True,
                                      seed=args.seed)
+        # multi-host: each process reads its own dataset shard (replaces
+        # the reference's DistributedGroupSampler, loader/sampler.py)
         batches = ({k: v for k, v in b.items() if k not in ("gt", "tokens")}
-                   for b in batches_from_dataset(ds, cfg, batch_size,
-                                                 seed=args.seed))
-        steps_per_epoch = max(len(ds) // batch_size, 1)
+                   for b in batches_from_dataset(
+                       ds, cfg, batch_size, seed=args.seed,
+                       num_shards=_jax.process_count(),
+                       shard_id=_jax.process_index()))
+        steps_per_epoch = max(
+            len(ds) // (batch_size * _jax.process_count()), 1)
 
     val_fn = None
     if args.val_synthetic:
