@@ -67,7 +67,8 @@ def _relay_alive() -> bool:
     import os
     import socket
 
-    if os.environ.get("JAX_PLATFORMS", "") != "axon":
+    platforms = os.environ.get("JAX_PLATFORMS", "").split(",")
+    if "axon" not in [s.strip() for s in platforms]:
         return True  # not tunneled — nothing to check
     for port in (8082, 8083, 8087, 8092, 8093, 8097):
         s = socket.socket()

@@ -83,7 +83,11 @@ def main(argv=None):
         cfg = tiny_variant(cfg)
     classname = cfg.data.class_names[0]
 
-    if args.synthetic:
+    if args.eval_only:
+        # re-scoring a saved detections pkl needs no dataset, model, or
+        # checkpoint (ref: dist_test's no-extractBox path skips the model)
+        eval_batches = []
+    elif args.synthetic:
         from ..data.synthetic import make_batch
         eval_batches = [make_batch(cfg, args.batch_size, seed=args.seed + i)
                         for i in range(max(args.synthetic // args.batch_size, 1))]
@@ -100,21 +104,23 @@ def main(argv=None):
         eval_batches = list(batches_from_dataset(
             ds, cfg, args.batch_size, shuffle=False, loop=False))
 
-    first = {k: v for k, v in eval_batches[0].items()
-             if k in ("points", "points_valid", "targets")}
-    state = init_state(cfg, jax.random.PRNGKey(0),
-                       jax.tree.map(lambda x: x[:1], first), total_steps=1)
-    ckpt_dir = args.checkpoint_dir or os.path.abspath(
-        f"models/{args.experiment}/{args.dataset}_{args.architecture}_"
-        f"{args.model}_detection")
-    if os.path.isdir(ckpt_dir):
-        try:
-            mgr = CheckpointManager(ckpt_dir)
-            state = mgr.restore(jax.device_get(state))
-            logging.info("restored checkpoint step %d", int(state.step))
-        except FileNotFoundError:
-            logging.warning("no checkpoint in %s — evaluating random init",
-                            ckpt_dir)
+    if not args.eval_only:
+        first = {k: v for k, v in eval_batches[0].items()
+                 if k in ("points", "points_valid", "targets")}
+        state = init_state(cfg, jax.random.PRNGKey(0),
+                           jax.tree.map(lambda x: x[:1], first),
+                           total_steps=1)
+        ckpt_dir = args.checkpoint_dir or os.path.abspath(
+            f"models/{args.experiment}/{args.dataset}_{args.architecture}_"
+            f"{args.model}_detection")
+        if os.path.isdir(ckpt_dir):
+            try:
+                mgr = CheckpointManager(ckpt_dir)
+                state = mgr.restore(jax.device_get(state))
+                logging.info("restored checkpoint step %d", int(state.step))
+            except FileNotFoundError:
+                logging.warning("no checkpoint in %s — evaluating random "
+                                "init", ckpt_dir)
 
     prototypes = None
     if args.postprocess:
@@ -138,22 +144,28 @@ def main(argv=None):
                                   multitask_detection_records)
     from ..eval.metrics import evaluate_forecasts
 
-    mesh = None
-    if args.space > 1:
-        from ..parallel.mesh import make_mesh_2d
-        mesh = make_mesh_2d(max(jax.device_count() // args.space, 1),
-                            args.space)
-    fwd = make_eval_forward(cfg, mesh)
-    if args.tta != "none":
-        from ..eval.tta import infer_double_flip, infer_double_flip_map
-        tta_fn = (infer_double_flip_map if args.tta == "map"
-                  else infer_double_flip)
-        infer = jax.jit(lambda p, s, b: tta_fn(
-            cfg, lambda pts, pv: fwd(p, s, {"points": pts,
-                                            "points_valid": pv}),
-            b["points"], b["points_valid"]))
-    else:
-        infer = jax.jit(lambda p, s, b: decode_and_nms(cfg, fwd(p, s, b)))
+    if not args.eval_only:
+        mesh = None
+        if args.space > 1:
+            import math
+
+            from ..parallel.mesh import make_mesh_2d
+            # data axis must divide the batch (P("data") shards batch dim)
+            n_data = max(math.gcd(args.batch_size,
+                                  jax.device_count() // args.space), 1)
+            mesh = make_mesh_2d(n_data, args.space)
+        fwd = make_eval_forward(cfg, mesh)
+        if args.tta != "none":
+            from ..eval.tta import infer_double_flip, infer_double_flip_map
+            tta_fn = (infer_double_flip_map if args.tta == "map"
+                      else infer_double_flip)
+            infer = jax.jit(lambda p, s, b: tta_fn(
+                cfg, lambda pts, pv: fwd(p, s, {"points": pts,
+                                                "points_valid": pv}),
+                b["points"], b["points_valid"]))
+        else:
+            infer = jax.jit(
+                lambda p, s, b: decode_and_nms(cfg, fwd(p, s, b)))
 
     # multi-task class-group configs are detection-only: labels are global
     # class ids, there is no forecast linking (classic CenterPoint eval)
@@ -200,15 +212,22 @@ def main(argv=None):
         import time as _time
 
         n_b = len(eval_batches)
-        lo_t, hi_t = n_b // 3, max(2 * n_b // 3, n_b // 3 + 1)
+        # never probe batch 0 (JIT compile) — degenerate tiny sets skip
+        lo_t = max(n_b // 3, 1)
+        hi_t = max(2 * n_b // 3, lo_t + 1)
         lat = []
         inflight = deque()
         for bi, b in enumerate(eval_batches):
+            probe = args.speed_test and lo_t <= bi < hi_t and n_b >= 3
+            if probe:
+                # drain pending work so the probe times ONLY this batch
+                while inflight:
+                    consume(inflight.popleft())
             batch = {k: v for k, v in b.items()
                      if k in ("points", "points_valid")}
             t0 = _time.perf_counter()
             det_dev = infer(state.params, state.batch_stats, batch)
-            if args.speed_test and lo_t <= bi < hi_t:
+            if probe:
                 # synchronous latency probe over the middle third
                 # (ref dist_test.py:204-240); device_get forces completion
                 det_dev = jax.device_get(det_dev)

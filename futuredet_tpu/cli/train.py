@@ -122,17 +122,35 @@ def main(argv=None):
 
         vb = make_batch(cfg, max(args.val_synthetic, 1), seed=10_000)
         vfwd = make_eval_forward(cfg)
+        h = cfg.model.head
+        multitask = h.standard and len(h.tasks) > 1
+        vtokens = [f"v{i}" for i in range(vb["points"].shape[0])]
 
         def val_fn(state):
+            import numpy as _np
             det = _jax.device_get(decode_and_nms(
                 cfg, vfwd(state.params, state.batch_stats, vb)))
-            res = evaluate_detections(
-                cfg, det, vb["gt"],
-                [f"v{i}" for i in range(vb["points"].shape[0])],
-                forecast_mode="velocity_constant"
-                if cfg.model.head.standard else "velocity_dense",
-                classname=cfg.data.class_names[0])
-            import numpy as _np
+            if multitask:
+                # class-labeled detection metrics (no forecast linking)
+                from ..eval.evaluator import (gt_records_multiclass,
+                                              multitask_detection_records)
+                from ..eval.metrics import evaluate_forecasts
+                preds = multitask_detection_records(cfg, det, vtokens)
+                for x in preds:
+                    x.yaw = float(-x.yaw - _np.pi / 2)
+                gts = gt_records_multiclass(
+                    _np.asarray(vb["gt"]["boxes"]),
+                    _np.asarray(vb["gt"]["valid"]),
+                    _np.asarray(vb["gt"]["classes"]), vtokens,
+                    cfg.data.class_names)
+                res = evaluate_forecasts(preds, gts,
+                                         list(cfg.data.class_names))
+            else:
+                res = evaluate_detections(
+                    cfg, det, vb["gt"], vtokens,
+                    forecast_mode="velocity_constant"
+                    if h.standard else "velocity_dense",
+                    classname=cfg.data.class_names[0])
             return {"mAP": round(float(_np.mean(
                         list(res.mean_dist_aps.values()))), 4),
                     "mFAP": round(float(_np.mean(

@@ -2,10 +2,14 @@
 
 Capability port of the reference's DOUBLE_FLIP path (`Voxelization`
 double-flip variants, preprocess.py:273-319, merged in CenterHead.predict).
-Deviation (documented): the reference averages the raw head maps of the four
-flips; here each flip is decoded in its own frame, boxes are transformed back
-and fused by the standard rotated NMS — a box-level ensemble with the same
-inputs, simpler to verify and fully shape-static.
+Two formulations:
+
+  * `infer_double_flip_map` — the reference's map averaging: unflip each
+    flip's head maps to the canonical frame, average activated maps
+    (post-sigmoid heatmaps, exp'd dims; regressions linearly), decode once.
+  * `infer_double_flip` — a box-level 4-way ensemble (decode each flip in
+    its own frame, transform boxes back, fuse through NMS); keeps per-flip
+    provenance.
 """
 from __future__ import annotations
 
@@ -31,15 +35,19 @@ def _flip_points(points, fy: bool, fx: bool):
 
 
 def _unflip_boxes(det: Detections, fy: bool, fx: bool) -> Detections:
+    """boxes[..., 8] carries the STORED rot r = -physical_yaw - pi/2
+    (CLAUDE.md box layout). A y flip maps physical yaw theta -> -theta,
+    i.e. r -> -r - pi (== pi - r); an x flip maps theta -> pi - theta,
+    i.e. r -> -r."""
     b = det.boxes
-    if fy:  # y was negated: mirror y, vy; yaw -> -yaw
+    if fy:  # y was negated: mirror y, vy; stored rot -> pi - r
         b = b.at[..., 1].multiply(-1.0)
         b = b.at[..., 7].multiply(-1.0)
-        b = b.at[..., 8].multiply(-1.0)
-    if fx:  # x was negated: mirror x, vx; yaw -> pi - yaw
+        b = b.at[..., 8].set(np.pi - b[..., 8])
+    if fx:  # x was negated: mirror x, vx; stored rot -> -r
         b = b.at[..., 0].multiply(-1.0)
         b = b.at[..., 6].multiply(-1.0)
-        b = b.at[..., 8].set(np.pi - b[..., 8])
+        b = b.at[..., 8].multiply(-1.0)
     return det._replace(boxes=b)
 
 
@@ -67,8 +75,9 @@ def unflip_pred_maps(pd, fy: bool, fx: bool):
 
     BEV row h of the flipped frame corresponds to canonical row H-1-h with
     sub-cell offset 1-reg_y (and likewise for columns); y components of
-    velocities negate; yaw -> -yaw under a y flip (sin negates) and
-    yaw -> pi - yaw under an x flip (cos negates).
+    velocities negate. Rot maps hold (sin r, cos r) of the STORED rot
+    r = -physical_yaw - pi/2, for which a y flip is r -> pi - r (cos
+    negates) and an x flip is r -> -r (sin negates).
     """
     out = {}
     for k, v in pd.items():
@@ -87,7 +96,7 @@ def unflip_pred_maps(pd, fy: bool, fx: bool):
                 out[vk] = out[vk].at[..., 1::2].multiply(-1.0)
         for rk in ("rot", "rrot"):
             if rk in out:
-                out[rk] = out[rk].at[..., 0].multiply(-1.0)   # sin(-yaw)
+                out[rk] = out[rk].at[..., 1].multiply(-1.0)   # cos(pi - r)
     if fx:
         if "reg" in out:
             out["reg"] = out["reg"].at[..., 0].multiply(-1.0).at[..., 0].add(1.0)
@@ -96,24 +105,41 @@ def unflip_pred_maps(pd, fy: bool, fx: bool):
                 out[vk] = out[vk].at[..., 0::2].multiply(-1.0)
         for rk in ("rot", "rrot"):
             if rk in out:
-                out[rk] = out[rk].at[..., 1].multiply(-1.0)   # cos(pi-yaw)
+                out[rk] = out[rk].at[..., 0].multiply(-1.0)   # sin(-r)
     return out
 
 
 def infer_double_flip_map(cfg: ExperimentConfig, forward: Callable,
                           points, points_valid) -> Detections:
     """Map-average double flip (the reference's formulation): run the four
-    flips, unflip each head's RAW maps back to the canonical frame, average
-    the logits/regressions, decode + NMS once. Unlike the box-level
-    ensemble this keeps the standard detection count."""
+    flips, unflip each head's maps back to the canonical frame, average in
+    activated space, decode + NMS once. Unlike the box-level ensemble this
+    keeps the standard detection count."""
+    def activate(pd):
+        # the reference averages ACTIVATED maps (post-sigmoid heatmaps,
+        # exp'd dims); regressions average linearly
+        out = dict(pd)
+        out["hm"] = jax.nn.sigmoid(pd["hm"])
+        out["dim"] = jnp.exp(pd["dim"])
+        return out
+
     acc = None
     for fy, fx in FLIPS:
         preds = forward(_flip_points(points, fy, fx), points_valid)
-        preds = [unflip_pred_maps(pd, fy, fx) for pd in preds]
+        preds = [activate(unflip_pred_maps(pd, fy, fx)) for pd in preds]
         if acc is None:
             acc = preds
         else:
             acc = [jax.tree.map(lambda a, b: a + b, a_, p_)
                    for a_, p_ in zip(acc, preds)]
     acc = [jax.tree.map(lambda a: a / len(FLIPS), pd) for pd in acc]
-    return decode_and_nms(cfg, acc)
+
+    def deactivate(pd):
+        # invert so decode's internal sigmoid/exp lands on the averages
+        out = dict(pd)
+        p = jnp.clip(pd["hm"], 1e-6, 1.0 - 1e-6)
+        out["hm"] = jnp.log(p) - jnp.log1p(-p)
+        out["dim"] = jnp.log(jnp.maximum(pd["dim"], 1e-9))
+        return out
+
+    return decode_and_nms(cfg, [deactivate(pd) for pd in acc])

@@ -223,14 +223,17 @@ def test_map_unflip_decode_consistency():
             src = src[:, ::-1]
             hfl = hfl[:, ::-1]
         exp = src.copy()
+        # stored-rot convention r = -physical_yaw - pi/2 (CLAUDE.md):
+        # y flip: theta -> -theta  =>  r -> pi - r
+        # x flip: theta -> pi - theta  =>  r -> -r
         if fy:
             exp[..., 1] *= -1          # y
             exp[..., 7] *= -1          # vy
-            exp[..., 8] *= -1          # yaw -> -yaw
+            exp[..., 8] = np.pi - exp[..., 8]
         if fx:
             exp[..., 0] *= -1          # x
             exp[..., 6] *= -1          # vx
-            exp[..., 8] = np.pi - exp[..., 8]
+            exp[..., 8] *= -1
         # wrap yaw to (-pi, pi] for comparison
         du = (bu[..., 8] - exp[..., 8] + np.pi) % (2 * np.pi) - np.pi
         np.testing.assert_allclose(du, 0, atol=1e-5)
@@ -258,3 +261,64 @@ def test_double_flip_map_average_e2e():
     T = cfg.model.head.target_timesteps
     assert det.boxes.shape[1] == T * cfg.test.nms.post_max_size
     assert np.isfinite(np.asarray(det.boxes)).all()
+
+
+def test_map_unflip_physical_roundtrip():
+    """Ground-truth-physics oracle: simulate a PERFECT model on flipped
+    worlds (maps encode the flipped-world boxes, derived from indisputable
+    flip physics: y flip theta->-theta, x flip theta->pi-theta) and check
+    unflip_pred_maps + decode recovers the CANONICAL box."""
+    import itertools
+
+    import jax.numpy as jnp
+    from futuredet_tpu.eval.decode import decode_single
+    from futuredet_tpu.eval.tta import unflip_pred_maps
+    from tests.test_models import tiny_cfg
+
+    cfg = tiny_cfg(1, False, False)
+    W, H = cfg.feature_map_size
+    vx_m, vy_m = cfg.voxel.voxel_size[:2]
+    x0, y0 = cfg.voxel.pc_range[:2]
+    osf = cfg.assigner.out_size_factor
+
+    theta = 0.7                      # physical yaw, canonical world
+    cx, cy = 2.3, -3.1               # center, canonical world
+    vel = np.array([1.5, -0.8])      # physical velocity
+
+    for fy, fx in itertools.product([False, True], repeat=2):
+        th_f, c_f, v_f = theta, np.array([cx, cy]), vel.copy()
+        if fy:
+            th_f = -th_f
+            c_f = c_f * np.array([1, -1])
+            v_f = v_f * np.array([1, -1])
+        if fx:
+            th_f = np.pi - th_f
+            c_f = c_f * np.array([-1, 1])
+            v_f = v_f * np.array([-1, 1])
+        r_f = -th_f - np.pi / 2      # stored rot in the flipped world
+
+        # perfect flipped-world maps: one hot cell at the box center
+        gx = (c_f[0] - x0) / vx_m / osf
+        gy = (c_f[1] - y0) / vy_m / osf
+        ix, iy = int(gx), int(gy)
+        maps = {k: jnp.zeros((1, H, W, c), jnp.float32)
+                for k, c in (("hm", 1), ("reg", 2), ("height", 1),
+                             ("dim", 3), ("rot", 2), ("vel", 2))}
+        maps["hm"] = maps["hm"].at[0, iy, ix, 0].set(9.0)
+        maps["reg"] = maps["reg"].at[0, iy, ix].set(
+            jnp.asarray([gx - ix, gy - iy]))
+        maps["rot"] = maps["rot"].at[0, iy, ix].set(
+            jnp.asarray([np.sin(r_f), np.cos(r_f)]))
+        maps["vel"] = maps["vel"].at[0, iy, ix].set(jnp.asarray(v_f))
+
+        un = unflip_pred_maps(maps, fy, fx)
+        boxes, hm = decode_single(un, cfg)
+        cell = int(np.argmax(np.asarray(hm)[0, :, 0]))
+        box = np.asarray(boxes)[0, cell]
+        np.testing.assert_allclose(box[0], cx, atol=1e-4)
+        np.testing.assert_allclose(box[1], cy, atol=1e-4)
+        np.testing.assert_allclose(box[6:8], vel, atol=1e-5)
+        r_expect = -theta - np.pi / 2
+        dr = (box[8] - r_expect + np.pi) % (2 * np.pi) - np.pi
+        np.testing.assert_allclose(dr, 0, atol=1e-5,
+                                   err_msg=f"fy={fy} fx={fx}")
