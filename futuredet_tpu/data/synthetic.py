@@ -141,6 +141,11 @@ def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
     tgts = [build_targets(cfg, s.gt_boxes, s.gt_classes, s.gt_valid,
                           s.traj_classes) for s in scenes]
     batch["targets"] = {k: jnp.stack([t[k] for t in tgts]) for k in tgts[0]}
+    if cfg.model.head.bev_map:
+        # synthetic scenes carry no HD map; the rasterized ego-map branch
+        # (ref nusc_common.py:508-509) gets a zero canvas
+        W, H = cfg.feature_map_size
+        batch["bev_map"] = jnp.zeros((batch_size, H, W, 1), jnp.float32)
     batch["gt"] = {
         "boxes": np.stack([s.gt_boxes for s in scenes]),
         "classes": np.stack([s.gt_classes for s in scenes]),

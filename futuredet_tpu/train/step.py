@@ -62,7 +62,8 @@ def init_state(cfg: ExperimentConfig, rng, batch, total_steps: int,
     model = build_detector(cfg, axis_name=None)  # init never crosses devices
     variables = jax.jit(
         functools.partial(model.init, train=True)
-    )(rng, batch["points"], batch["points_valid"])
+    )(rng, batch["points"], batch["points_valid"],
+      bev_map=batch.get("bev_map"))
     tx = make_optimizer(cfg, total_steps, variables["params"])
     opt_state = tx.init(variables["params"])
     return TrainState(step=jnp.zeros((), jnp.int32),

@@ -81,3 +81,25 @@ def test_train_step_voxelnet_sparse_2dev():
     step_fn = make_train_step(cfg, mesh, total_steps=10)
     state, metrics = step_fn(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_init_state_and_cli_batch_with_bev_map():
+    """n3dtfm-style configs (bev_map branch): init_state must thread the
+    bev_map through model.init, and make_batch must emit the canvas."""
+    import dataclasses
+
+    from futuredet_tpu.data.synthetic import make_batch
+
+    cfg = tiny_cfg(7, True, True)
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, head=dataclasses.replace(cfg.model.head, bev_map=True)))
+    batch = make_batch(cfg, 2, seed=0, n_objects=3, n_clutter=200,
+                       max_objs=16)
+    batch.pop("gt")
+    assert "bev_map" in batch
+    state = init_state(cfg, jax.random.PRNGKey(0),
+                       jax.tree.map(lambda x: x[:1], batch), total_steps=5)
+    step_fn = make_train_step(cfg, make_mesh(1), total_steps=5)
+    state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert any("bev_conv" in k for k in state.params["head"])
