@@ -129,15 +129,20 @@ def center_head_loss(cfg: HeadConfig, preds: List[Dict[str, jax.Array]],
             loc = jnp.sum(bl * cw)
         elif cfg.wide_head:
             # quirk preserved: hm from forecast targets, boxes from trajectory
-            # targets (ref :418,:441,:497)
+            # targets (ref :418,:441,:497). The forecast family's object axis
+            # is T*M (every timestep's boxes in each map) while the
+            # trajectory family's is M; its first M slots are the t=0 objects
+            # in the same order, so the regression pairs mask/ind with the
+            # slot-aligned prefix.
             hm_loss = fast_focal_loss(
                 hm_pred, targets["hm_forecast"][:, 0],
                 targets["ind_forecast"][:, 0], targets["mask_forecast"][:, 0],
                 targets["cat_forecast"][:, 0])
             box = assemble_anno_box(pd, cfg, None)
             tgt = targets["anno_box_trajectory"][:, 0][..., cols]
-            bl = reg_loss(box, targets["mask_forecast"][:, 0],
-                          targets["ind_forecast"][:, 0], tgt)
+            M = tgt.shape[1]
+            bl = reg_loss(box, targets["mask_forecast"][:, 0, :M],
+                          targets["ind_forecast"][:, 0, :M], tgt)
             loc = jnp.sum(bl * cw)
         elif cfg.sparse:
             # task 0 = forward chain anchored at t=0; task 1 = reverse chain

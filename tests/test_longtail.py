@@ -126,14 +126,16 @@ def test_sparse_classify_wide_modes_forward_and_loss():
         tg = rand_targets(cfg, B=1)
         W, H = cfg.feature_map_size
         M = cfg.assigner.max_objs
+        # family shapes must match build_targets: the forecast family's
+        # object axis is T*M (all timesteps' boxes in every map)
         extra = {}
-        for fam, C in (("trajectory", 3), ("forecast", 7)):
+        for fam, C, Mf in (("trajectory", 3, M), ("forecast", 7, 7 * M)):
             extra.update({
                 f"hm_{fam}": jnp.zeros((1, 7, H, W, C)),
-                f"ind_{fam}": jnp.zeros((1, 7, M), jnp.int32),
-                f"mask_{fam}": jnp.zeros((1, 7, M), bool),
-                f"cat_{fam}": jnp.zeros((1, 7, M), jnp.int32),
-                f"anno_box_{fam}": jnp.zeros((1, 7, M, 14)),
+                f"ind_{fam}": jnp.zeros((1, 7, Mf), jnp.int32),
+                f"mask_{fam}": jnp.zeros((1, 7, Mf), bool),
+                f"cat_{fam}": jnp.zeros((1, 7, Mf), jnp.int32),
+                f"anno_box_{fam}": jnp.zeros((1, 7, Mf, 14)),
             })
         losses = center_head_loss(cfg.model.head, preds, {**tg, **extra})
         assert np.isfinite(float(losses["loss"])), mode
@@ -322,3 +324,43 @@ def test_map_unflip_physical_roundtrip():
         dr = (box[8] - r_expect + np.pi) % (2 * np.pi) - np.pi
         np.testing.assert_allclose(dr, 0, atol=1e-5,
                                    err_msg=f"fy={fy} fx={fx}")
+
+
+def test_all_head_modes_train_with_real_targets():
+    """init_state -> train step -> decode for every unexposed head mode,
+    with REAL build_targets families (the fabricated families in the test
+    above once hid a wide-head forecast/trajectory object-axis mismatch)."""
+    import dataclasses
+
+    import jax
+    from futuredet_tpu.data.synthetic import make_batch
+    from futuredet_tpu.eval.decode import decode_and_nms
+    from futuredet_tpu.parallel.mesh import make_mesh
+    from futuredet_tpu.train.step import (init_state, make_eval_forward,
+                                          make_train_step)
+
+    for mode in ("sparse", "classify", "wide_head", "reverse"):
+        cfg = tiny_cfg(7, False, False)
+        head = dataclasses.replace(cfg.model.head, **{mode: True},
+                                   timesteps=7)
+        if mode == "wide_head":
+            head = dataclasses.replace(head, share_conv_channel=32)
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, head=head),
+            assigner=dataclasses.replace(cfg.assigner,
+                                         sampler_type="trajectory"))
+        batch = make_batch(cfg, 1, seed=0, n_objects=4, n_clutter=200,
+                           max_objs=16)
+        batch.pop("gt")
+        state = init_state(cfg, jax.random.PRNGKey(0), batch, total_steps=8)
+        step = make_train_step(cfg, make_mesh(1), total_steps=8)
+        first = last = None
+        for _ in range(8):
+            state, m = step(state, batch)
+            last = float(m["loss"])
+            first = first if first is not None else last
+        assert np.isfinite(last) and last < first, (mode, first, last)
+        fwd = make_eval_forward(cfg)
+        det = decode_and_nms(cfg, fwd(state.params, state.batch_stats,
+                                      batch))
+        assert np.isfinite(np.asarray(det.boxes)).all(), mode
