@@ -51,9 +51,16 @@ def make_optimizer(cfg: ExperimentConfig, total_steps: int, params=None):
     )
     if cfg.model.head.two_stage and params is not None:
         # TWO_STAGE fine-tuning: freeze everything but vel/rot branches
-        # (ref apis/train.py:353-356)
+        # (ref apis/train.py:353-356). NOTE optax.masked would pass the
+        # un-masked params' RAW gradients through as updates (lr-1 SGD on
+        # the "frozen" backbone!) — multi_transform + set_to_zero actually
+        # freezes them.
         from ..models.two_stage import two_stage_trainable_mask
-        tx = optax.masked(tx, two_stage_trainable_mask(params))
+        labels = jax.tree.map(
+            lambda m: "train" if m else "freeze",
+            two_stage_trainable_mask(params))
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels)
     return tx
 
 

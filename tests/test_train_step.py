@@ -103,3 +103,34 @@ def test_init_state_and_cli_batch_with_bev_map():
     state, metrics = step_fn(state, batch)
     assert np.isfinite(float(metrics["loss"]))
     assert any("bev_conv" in k for k in state.params["head"])
+
+
+def test_two_stage_optimizer_actually_freezes():
+    """TWO_STAGE schedule: after optimizer steps, ONLY vel/rot branch
+    params may change (ref apis/train.py:353-356). Regression for the
+    optax.masked misuse that let raw gradients through as updates on the
+    'frozen' backbone."""
+    import dataclasses
+
+    import jax.tree_util as jtu
+    from futuredet_tpu.data.synthetic import make_batch
+
+    cfg = tiny_cfg(1, False, False)
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, head=dataclasses.replace(cfg.model.head, two_stage=True)))
+    batch = make_batch(cfg, 1, seed=0, n_objects=4, n_clutter=300,
+                       max_objs=16)
+    batch.pop("gt")
+    state = init_state(cfg, jax.random.PRNGKey(0), batch, total_steps=4)
+    p0 = jax.device_get(state.params)
+    step = make_train_step(cfg, make_mesh(1), total_steps=4)
+    for _ in range(4):
+        state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    p1 = jax.device_get(state.params)
+    changed = [jtu.keystr(p) for (p, a), (_, b) in zip(
+        jtu.tree_flatten_with_path(p0)[0], jtu.tree_flatten_with_path(p1)[0])
+        if np.abs(a - b).max() > 0]
+    assert changed, "vel/rot must train"
+    bad = [n for n in changed if not ("vel" in n or "rot" in n)]
+    assert not bad, bad[:5]
