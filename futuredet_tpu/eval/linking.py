@@ -235,6 +235,12 @@ def snap_to_prototypes(trajs: List[Trajectory], prototypes) -> List[Trajectory]:
         offs = np.concatenate([(tr.boxes[t, :3] - start[:3])
                                for t in range(1, T)])
         key = np.concatenate([start[6:8], rot, offs])
+        if proto_vecs.shape[1] != key.shape[0]:
+            raise ValueError(
+                f"trajectory prototypes were built for a different horizon "
+                f"({proto_vecs.shape[1]}-dim keys vs {key.shape[0]}-dim "
+                f"trajectories) — rebuild with `cli.tools trajectory` on "
+                f"infos generated with the eval's timesteps")
         j = int(np.argmin(np.linalg.norm(proto_vecs - key, axis=1)))
         boxes = tr.boxes.copy()
         for t in range(1, min(T, len(proto_offsets[j]) + 1)):

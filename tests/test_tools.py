@@ -113,3 +113,41 @@ def test_export_roundtrip(tmp_path):
                  "--out", out, "--check"])
     import os
     assert path == out and os.path.getsize(out) > 10000
+
+
+def test_trajectory_prototypes_snap_chain(tmp_path, monkeypatch):
+    """cli.tools trajectory -> snap_to_prototypes: matched horizon snaps a
+    curved future onto the nearest train prototype; mismatched horizon
+    raises a clear error instead of a broadcast crash."""
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, "tests")
+    from test_infos import _mk_mini_nusc
+    from futuredet_tpu.data.infos import create_nuscenes_infos
+    from futuredet_tpu.cli.tools import main as tools_main
+    from futuredet_tpu.eval.linking import Trajectory, snap_to_prototypes
+
+    version = _mk_mini_nusc(tmp_path)
+    paths = create_nuscenes_infos(str(tmp_path), version, nsweeps=3,
+                                  timesteps=7)
+    monkeypatch.chdir(tmp_path)
+    protos = tools_main(["trajectory", "--info_path", str(paths[0]),
+                         "--classname", "car"])
+    assert len(protos) > 0 and len(protos[0]) - 1 == 6
+
+    T = 7
+    boxes = np.zeros((T, 9), np.float32)
+    t = np.arange(T)
+    boxes[:, 0] = 2.0 * t
+    boxes[:, 1] = 0.5 * t ** 2
+    boxes[:, 3:6] = 2.0
+    boxes[:, 6] = 4.0
+    tr = Trajectory(boxes=boxes, scores=np.ones(T, np.float32))
+    out = snap_to_prototypes([tr], protos)[0]
+    assert not np.allclose(boxes[1:, :2], out.boxes[1:, :2])
+
+    short = Trajectory(boxes=boxes[:3], scores=np.ones(3, np.float32))
+    with pytest.raises(ValueError, match="different horizon"):
+        snap_to_prototypes([short], protos)
