@@ -106,7 +106,7 @@ def main(argv=None):
 
     if not args.eval_only:
         first = {k: v for k, v in eval_batches[0].items()
-                 if k in ("points", "points_valid", "targets")}
+                 if k in ("points", "points_valid", "targets", "bev_map")}
         state = init_state(cfg, jax.random.PRNGKey(0),
                            jax.tree.map(lambda x: x[:1], first),
                            total_steps=1)
@@ -147,13 +147,10 @@ def main(argv=None):
     if not args.eval_only:
         mesh = None
         if args.space > 1:
-            import math
-
-            from ..parallel.mesh import make_mesh_2d
+            from ..parallel.mesh import data_axis_size, make_mesh_2d
             # data axis must divide the batch (P("data") shards batch dim)
-            n_data = max(math.gcd(args.batch_size,
-                                  jax.device_count() // args.space), 1)
-            mesh = make_mesh_2d(n_data, args.space)
+            mesh = make_mesh_2d(data_axis_size(args.batch_size, args.space),
+                                args.space)
         fwd = make_eval_forward(cfg, mesh)
         if args.tta != "none":
             from ..eval.tta import infer_double_flip, infer_double_flip_map
@@ -185,8 +182,9 @@ def main(argv=None):
             saved.append((det, gt, tokens))
         if multitask:
             p = multitask_detection_records(cfg, det, tokens)
-            g = gt_records_multiclass(gt["boxes"], gt["valid"],
-                                      gt["classes"], tokens,
+            g = gt_records_multiclass(np.asarray(gt["boxes"]),
+                                      np.asarray(gt["valid"]),
+                                      np.asarray(gt["classes"]), tokens,
                                       cfg.data.class_names)
         else:
             p = detections_to_predictions(
@@ -224,7 +222,7 @@ def main(argv=None):
                 while inflight:
                     consume(inflight.popleft())
             batch = {k: v for k, v in b.items()
-                     if k in ("points", "points_valid")}
+                     if k in ("points", "points_valid", "bev_map")}
             t0 = _time.perf_counter()
             det_dev = infer(state.params, state.batch_stats, batch)
             if probe:

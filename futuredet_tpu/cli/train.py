@@ -121,33 +121,26 @@ def main(argv=None):
         from ..train.step import make_eval_forward
 
         vb = make_batch(cfg, max(args.val_synthetic, 1), seed=10_000)
+        vgt = vb.pop("gt")
+        # the jitted forward only reads these keys — don't ship targets
+        vin = {k: v for k, v in vb.items()
+               if k in ("points", "points_valid", "bev_map")}
         vfwd = make_eval_forward(cfg)
         h = cfg.model.head
         multitask = h.standard and len(h.tasks) > 1
-        vtokens = [f"v{i}" for i in range(vb["points"].shape[0])]
+        vtokens = [f"v{i}" for i in range(vin["points"].shape[0])]
 
         def val_fn(state):
             import numpy as _np
             det = _jax.device_get(decode_and_nms(
-                cfg, vfwd(state.params, state.batch_stats, vb)))
+                cfg, vfwd(state.params, state.batch_stats, vin)))
             if multitask:
                 # class-labeled detection metrics (no forecast linking)
-                from ..eval.evaluator import (gt_records_multiclass,
-                                              multitask_detection_records)
-                from ..eval.metrics import evaluate_forecasts
-                preds = multitask_detection_records(cfg, det, vtokens)
-                for x in preds:
-                    x.yaw = float(-x.yaw - _np.pi / 2)
-                gts = gt_records_multiclass(
-                    _np.asarray(vb["gt"]["boxes"]),
-                    _np.asarray(vb["gt"]["valid"]),
-                    _np.asarray(vb["gt"]["classes"]), vtokens,
-                    cfg.data.class_names)
-                res = evaluate_forecasts(preds, gts,
-                                         list(cfg.data.class_names))
+                from ..eval.evaluator import evaluate_detections_multitask
+                res = evaluate_detections_multitask(cfg, det, vgt, vtokens)
             else:
                 res = evaluate_detections(
-                    cfg, det, vb["gt"], vtokens,
+                    cfg, det, vgt, vtokens,
                     forecast_mode="velocity_constant"
                     if h.standard else "velocity_dense",
                     classname=cfg.data.class_names[0])

@@ -274,6 +274,11 @@ def batches_from_dataset(ds, cfg: ExperimentConfig, batch_size: int,
     from .targets import build_targets
 
     rng = np.random.default_rng(seed)
+    if loop and len(ds) // num_shards < batch_size:
+        raise ValueError(
+            f"dataset shard ({len(ds)} samples / {num_shards} shards) is "
+            f"smaller than batch_size={batch_size}: this process would "
+            f"never yield a batch and a multi-host job would hang")
     epoch = 0
     while True:
         order = rng.permutation(len(ds)) if shuffle else np.arange(len(ds))
@@ -298,6 +303,7 @@ def batches_from_dataset(ds, cfg: ExperimentConfig, batch_size: int,
             batch["gt"] = {
                 "boxes": np.stack([s["gt_boxes"] for s in samples]),
                 "valid": np.stack([s["gt_valid"] for s in samples]),
+                "classes": np.stack([s["gt_classes"] for s in samples]),
                 "traj": np.stack([s["traj_classes"] for s in samples]),
             }
             yield batch

@@ -123,6 +123,29 @@ def gt_records_multiclass(gt_boxes, gt_valid, gt_classes,
     return out
 
 
+def evaluate_detections_multitask(cfg: ExperimentConfig, det: Detections,
+                                  gt, sample_tokens: Sequence[str], *,
+                                  tp_pct: float = 0.6, topk: int = 1,
+                                  cohort_analysis: bool = False,
+                                  static_only: bool = False,
+                                  association_oracle: bool = False
+                                  ) -> EvalResult:
+    """One-call detection evaluation for multi-task class-group configs:
+    class-labeled records, stored-yaw conversion, per-class metrics. `gt` =
+    dict with boxes (B,T,M,12), valid (B,T,M), classes (B,T,M)."""
+    preds = multitask_detection_records(cfg, det, sample_tokens)
+    for p in preds:
+        p.yaw = float(-p.yaw - np.pi / 2)
+    gts = gt_records_multiclass(np.asarray(gt["boxes"]),
+                                np.asarray(gt["valid"]),
+                                np.asarray(gt["classes"]), sample_tokens,
+                                cfg.data.class_names)
+    return evaluate_forecasts(
+        preds, gts, list(cfg.data.class_names), tp_pct=tp_pct,
+        cohort_analysis=cohort_analysis, topk=topk, static_only=static_only,
+        association_oracle=association_oracle)
+
+
 def gt_records_from_arrays(gt_boxes, gt_valid, traj_classes,
                            sample_tokens: Sequence[str],
                            classname: str = "car") -> List[GTRecord]:

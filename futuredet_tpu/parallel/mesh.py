@@ -45,6 +45,24 @@ def make_mesh_2d(n_data: int, n_space: int, devices=None) -> Mesh:
     return Mesh(devices, (DATA_AXIS, SPACE_AXIS))
 
 
+def data_axis_size(global_batch: int, n_space: int = 1,
+                   n_devices: Optional[int] = None) -> int:
+    """Largest data-axis size that divides both the global batch and the
+    devices left after the space axis. Raises when n_space leaves no
+    capacity (shared by the trainer and the eval CLI)."""
+    import math
+
+    total = n_devices if n_devices is not None else jax.device_count()
+    if n_space > total:
+        raise ValueError(f"n_space={n_space} exceeds the {total} available "
+                         f"devices")
+    cap = total // max(n_space, 1)
+    if cap < 1:
+        raise ValueError(f"no data-parallel capacity left: {total} devices "
+                         f"/ n_space={n_space}")
+    return max(math.gcd(global_batch, cap), 1)
+
+
 def canvas_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for (B, Y, X, C) BEV canvases: batch over data, rows over
     space (identity when the mesh has no space axis)."""

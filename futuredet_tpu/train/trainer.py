@@ -76,26 +76,16 @@ def train(cfg: ExperimentConfig, batches: Iterable[dict], *,
           log_fn: Callable[[str], None] = log.info) -> TrainState:
     """Run the full schedule over `batches` (an infinite batch iterator whose
     leaves lead with the global batch dim)."""
-    import math
-
     total_steps = steps_per_epoch * cfg.train.total_epochs
 
     from ..data.prefetch import prefetch
     it = prefetch(iter(batches), depth=prefetch_depth) \
         if prefetch_depth > 0 else iter(batches)
     first = next(it)
-    if n_space > 1 and n_space > jax.device_count():
-        raise ValueError(f"n_space={n_space} exceeds the "
-                         f"{jax.device_count()} available devices")
     if n_devices is None:
         # data-mesh size must divide the global batch
-        global_batch = int(first["points"].shape[0])
-        n_devices = math.gcd(global_batch,
-                             jax.device_count() // max(n_space, 1))
-        if n_devices < 1:
-            raise ValueError(
-                f"no data-parallel capacity left: {jax.device_count()} "
-                f"devices / n_space={n_space}")
+        from ..parallel.mesh import data_axis_size
+        n_devices = data_axis_size(int(first["points"].shape[0]), n_space)
     if n_space > 1:
         # (data, space) mesh: BEV rows spatially sharded (GSPMD step)
         from ..parallel.mesh import make_mesh_2d
