@@ -90,3 +90,28 @@ def test_eval_oracle_on_gt_as_predictions():
                                 cohort_analysis=True)
     assert set(res_c.mean_dist_aps) == {"static_car", "linear_car",
                                         "nonlinear_car"}
+
+
+def test_eval_forward_with_bev_map_config():
+    """n3dtfm-style eval: the bev_map must flow through init_state and the
+    eval forward (regression: both CLIs once dropped it)."""
+    import dataclasses
+
+    from futuredet_tpu.data.synthetic import make_batch
+    from futuredet_tpu.eval.decode import decode_and_nms
+    from futuredet_tpu.train.step import (init_state, make_eval_forward,
+                                          make_train_step)
+    from futuredet_tpu.parallel.mesh import make_mesh
+    from tests.test_models import tiny_cfg
+
+    cfg = tiny_cfg(7, True, True)
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, head=dataclasses.replace(cfg.model.head, bev_map=True)))
+    batch = make_batch(cfg, 1, seed=0, n_objects=3, n_clutter=200,
+                       max_objs=16)
+    batch.pop("gt")
+    assert "bev_map" in batch
+    state = init_state(cfg, jax.random.PRNGKey(0), batch, total_steps=2)
+    fwd = make_eval_forward(cfg)
+    det = decode_and_nms(cfg, fwd(state.params, state.batch_stats, batch))
+    assert np.isfinite(np.asarray(det.boxes)).all()
