@@ -91,3 +91,15 @@ def test_spatial_voxelnet_with_dense_tail():
     fn = make_train_step(cfg, make_mesh_2d(2, 2), total_steps=10)
     state, metrics = fn(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_data_axis_size():
+    from futuredet_tpu.parallel.mesh import data_axis_size
+
+    assert data_axis_size(4, 2, n_devices=8) == 4    # gcd(4, 8//2)
+    assert data_axis_size(6, 2, n_devices=8) == 2    # gcd(6, 4)
+    assert data_axis_size(1, 4, n_devices=8) == 1
+    assert data_axis_size(8, 1, n_devices=8) == 8
+    import pytest
+    with pytest.raises(ValueError):
+        data_axis_size(2, 16, n_devices=8)
