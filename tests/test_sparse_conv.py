@@ -133,3 +133,24 @@ def test_stacked_algo_matches_loop():
                                  jnp.asarray(b), algo="stacked")
     np.testing.assert_allclose(np.asarray(stacked), np.asarray(loop),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_stacked_algo_matches_loop_strided():
+    dims = (8, 10, 12)
+    coords, valid, feats = _rand_sparse(5, dims)
+    rng = np.random.default_rng(6)
+    W = rng.normal(size=(27, 4, 8)).astype(np.float32) * 0.1
+
+    grid = SC.make_grid(jnp.asarray(coords), jnp.asarray(valid), dims)
+    order = np.argsort(np.where(valid,
+                                (coords[:, 0] * dims[1] + coords[:, 1])
+                                * dims[2] + coords[:, 2], np.prod(dims)))
+    sfeats = jnp.asarray(feats[order])
+    out_dims = tuple((d + 1) // 2 for d in dims)
+    ngrid = SC.downsample_coords(grid, out_dims, 64)
+    dtable = SC.strided_gather_table(grid, ngrid, dims)
+    loop = SC.subm_conv_apply(sfeats, dtable, jnp.asarray(W), algo="loop")
+    stacked = SC.subm_conv_apply(sfeats, dtable, jnp.asarray(W),
+                                 algo="stacked")
+    np.testing.assert_allclose(np.asarray(stacked), np.asarray(loop),
+                               rtol=1e-5, atol=1e-5)
