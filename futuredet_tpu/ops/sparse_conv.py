@@ -128,8 +128,9 @@ def subm_conv_apply(features, table, weights, bias=None,
         [features.astype(cd), jnp.zeros((1, Cin), cd)], 0)
     w = weights.astype(cd)
     if algo == "stacked":
-        g = padded[table]                                  # (K, V, Cin)
-        g = jnp.moveaxis(g, 0, 1).reshape(V, K * Cin)
+        N = table.shape[1]             # output sites (N < V for strided)
+        g = padded[table]                                  # (K, N, Cin)
+        g = jnp.moveaxis(g, 0, 1).reshape(N, K * Cin)
         out = jnp.dot(g, w.reshape(K * Cin, -1),
                       preferred_element_type=jnp.float32)
     else:
