@@ -10,11 +10,16 @@ feature array.
 
 Per (site-block b, offset k) the kernel:
   1. DMAs two W-row aligned window blocks covering
-     [S[k,b]*W, (S[k,b]+2)*W)  — pure streaming reads;
-  2. builds a one-hot (B, W) selection matrix from the local indices
-     (exactly one nonzero per present row -> the matmul is an EXACT row
-     select, no accumulation error even in bf16);
-  3. contracts selection @ window @ weight[k] on the MXU, accumulating
+     [S[k,b]*W, (S[k,b]+2)*W)  — pure streaming reads. Windows are
+     row-PACKED: p = 128/Cin original rows per 128-lane packed row, so
+     the blocks are (W/p, 128) MXU tiles;
+  2. builds a one-hot (B, W/p) packed-row selection matrix (p-fold less
+     VPU iota-compare work than row-per-row; exactly one nonzero per
+     present row -> the matmul is an EXACT row select, no accumulation
+     error even in bf16), selects packed rows on the MXU, then masks the
+     in-row lane group (local % p);
+  3. contracts the masked (B, p*Cin) block against the p-stacked weights
+     w[k] on the MXU (128-deep contraction even for Cin=16), accumulating
      over k into the (B, Cout) output block.
 
 Absent neighbors (pos == V) and padded rows fall outside [0, 2W) or land
@@ -42,7 +47,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(s_ref, pos_ref, xlo_ref, xhi_ref, w_ref, out_ref, *,
-            W: int, compute_dtype):
+            W: int, p: int, Cin: int, compute_dtype):
+    """Row-packed select: windows arrive as (W/p, p*Cin) with p original
+    rows per 128-lane packed row. Selection = one-hot over packed rows
+    (8x less VPU iota-compare work than row-per-row) -> intra-row lane
+    mask -> one 128-deep matmul against the p-times-stacked weights."""
     b = pl.program_id(0)
     k = pl.program_id(1)
 
@@ -51,16 +60,22 @@ def _kernel(s_ref, pos_ref, xlo_ref, xhi_ref, w_ref, out_ref, *,
         out_ref[...] = jnp.zeros_like(out_ref)
 
     B = pos_ref.shape[-1]
-    local = pos_ref[0, 0, :] - s_ref[k, b] * W              # (B,) int32
-    iota = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
-    oh_lo = (local[:, None] == iota).astype(compute_dtype)
-    oh_hi = ((local[:, None] - W) == iota).astype(compute_dtype)
-    # exact row select: exactly one nonzero product per present row
-    g = (jnp.dot(oh_lo, xlo_ref[0].astype(compute_dtype),
-                 preferred_element_type=jnp.float32)
-         + jnp.dot(oh_hi, xhi_ref[0].astype(compute_dtype),
-                   preferred_element_type=jnp.float32))     # (B, Cin) f32
-    out_ref[0] += jnp.dot(g.astype(compute_dtype),
+    Wp = W // p
+    local = pos_ref[0, 0, 0, :] - s_ref[k, b] * W           # (B,) int32
+    w8 = local // p                                         # packed row
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, Wp), 1)
+    oh_lo = (w8[:, None] == iota).astype(compute_dtype)
+    oh_hi = ((w8[:, None] - Wp) == iota).astype(compute_dtype)
+    # exact packed-row select: one nonzero product per present row
+    packed = (jnp.dot(oh_lo, xlo_ref[0].astype(compute_dtype),
+                      preferred_element_type=jnp.float32)
+              + jnp.dot(oh_hi, xhi_ref[0].astype(compute_dtype),
+                        preferred_element_type=jnp.float32))  # (B, p*Cin)
+    if p > 1:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, p * Cin), 1) // Cin
+        packed = jnp.where(lane == (local % p)[:, None], packed, 0.0)
+    # w_ref holds w[k] stacked p times; only the masked slice is nonzero
+    out_ref[0] += jnp.dot(packed.astype(compute_dtype),
                           w_ref[0].astype(compute_dtype),
                           preferred_element_type=jnp.float32)
 
@@ -78,11 +93,15 @@ def subm_conv_window(features, table, weights, *, W: int = 1024,
     K, N = table.shape
     Cout = weights.shape[-1]
 
+    # pack p rows per 128-lane packed row (p=1 when Cin >= 128 or odd)
+    p = 128 // Cin if (Cin < 128 and 128 % Cin == 0 and W % 128 == 0) else 1
+
     nb = -(-N // B)
     Np = nb * B
     nbw = -(-(V + 1) // W) + 1          # >= 2 window blocks always exist
     Xp = jnp.zeros((nbw * W, Cin), features.dtype).at[:V].set(features)
-    Xb = Xp.reshape(nbw, W, Cin)
+    Xb = Xp.reshape(nbw, W // p, p * Cin)
+    wstack = jnp.concatenate([weights] * p, axis=1)         # (K, p*Cin, Cout)
 
     pos = jnp.concatenate(
         [table, jnp.full((K, Np - N), V, table.dtype)], axis=1)
@@ -91,25 +110,31 @@ def subm_conv_window(features, table, weights, *, W: int = 1024,
     present = pos < V
     pmin = jnp.min(jnp.where(present, pos, V), axis=-1)     # (K, nb)
     S = jnp.clip(pmin // W, 0, nbw - 2).astype(jnp.int32)   # (K, nb)
+    # Mosaic requires the last two block dims to be (8,128)-divisible OR
+    # equal to the full array dims; a unit sublane dim over a non-unit
+    # array dim is rejected, so pos rides as (K, nb, 1, B).
+    pos4 = pos.reshape(K, nb, 1, B)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb, K),
         in_specs=[
-            pl.BlockSpec((1, 1, B), lambda b, k, s: (k, b, 0)),
-            pl.BlockSpec((1, W, Cin), lambda b, k, s: (s[k, b], 0, 0)),
-            pl.BlockSpec((1, W, Cin),
+            pl.BlockSpec((1, 1, 1, B), lambda b, k, s: (k, b, 0, 0)),
+            pl.BlockSpec((1, W // p, p * Cin),
+                         lambda b, k, s: (s[k, b], 0, 0)),
+            pl.BlockSpec((1, W // p, p * Cin),
                          lambda b, k, s: (s[k, b] + 1, 0, 0)),
-            pl.BlockSpec((1, Cin, Cout), lambda b, k, s: (k, 0, 0)),
+            pl.BlockSpec((1, p * Cin, Cout), lambda b, k, s: (k, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, B, Cout), lambda b, k, s: (b, 0, 0)),
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, W=W, compute_dtype=compute_dtype),
+        functools.partial(_kernel, W=W, p=p, Cin=Cin,
+                          compute_dtype=compute_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, B, Cout), jnp.float32),
         interpret=interpret,
-    )(S, pos, Xb, Xb, weights)
+    )(S, pos4, Xb, Xb, wstack)
     return out.reshape(Np, Cout)[:N]
 
 
