@@ -168,12 +168,14 @@ class ModelConfig:
     # dtype for dense-stage conv contractions ("bfloat16" | None=fp32)
     middle_dense_dtype: Optional[str] = None
     # sparse-stage gather strategy: "loop" (27 small-K matmuls), "stacked"
-    # (one gather + one K*Cin-deep MXU matmul), or "window"/"window_bf16"
+    # (one gather + one K*Cin-deep MXU matmul), "window"/"window_bf16"
     # (Pallas one-hot row-select over monotone neighbor windows —
-    # INFERENCE-ONLY and unbatched: training and B>1 auto-downgrade to
-    # "loop" because pallas_call has no AD rule and the exactness cond
-    # degenerates under vmap)
-    middle_gather_algo: str = "loop"
+    # INFERENCE-ONLY and unbatched: training and B>1 auto-downgrade
+    # because pallas_call has no AD rule and the exactness cond
+    # degenerates under vmap), or "hybrid" (window for Cin<=16, stacked
+    # otherwise — the v5e sweep winner at 149.7 ms vs 153.5 stacked /
+    # 156.8 loop full-encoder; training downgrades to stacked)
+    middle_gather_algo: str = "hybrid"
 
 
 @dataclass(frozen=True)

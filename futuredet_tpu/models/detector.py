@@ -106,10 +106,10 @@ class VoxelNetDetector(nn.Module):
         vvalid = coords[:, :, 0] >= 0
 
         algo = c.model.middle_gather_algo
-        if B > 1 and algo.startswith("window"):
+        if B > 1 and (algo.startswith("window") or algo == "hybrid"):
             # the Pallas windowed gather's exactness cond degenerates to
             # select-both under vmap — use the plain path when batched
-            algo = "loop"
+            algo = "loop" if algo.startswith("window") else "stacked"
         mid_kwargs = dict(
             channels=c.model.middle_channels,
             vmax=c.model.middle_vmax,

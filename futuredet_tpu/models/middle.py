@@ -174,8 +174,10 @@ class SparseMiddleEncoder(nn.Module):
         dense_start = (self.dense_from_stage
                        if self.dense_from_stage is not None else 4)
         # the Pallas windowed gather has no AD rule — training always takes
-        # the differentiable gather path
-        algo = "loop" if (train and self.gather_algo.startswith("window")) \
+        # a differentiable gather path
+        algo = "stacked" if (train and (self.gather_algo == "hybrid"
+                                        or self.gather_algo.startswith(
+                                            "window"))) \
             else self.gather_algo
         grid = make_grid(coords_zyx, voxel_valid, self.grid_zyx)
         # re-sort features to the grid's id order

@@ -108,7 +108,25 @@ def subm_conv_apply(features, table, weights, bias=None,
       "stacked" — one (K,V,Cin) gather transposed to (V, K*Cin), then a
                   single K*Cin-deep matmul: full MXU utilization at the cost
                   of materializing the gathered block.
+      "hybrid"  — Pallas windowed row-select for narrow inputs (Cin <= 16,
+                  where the packed one-hot matmuls beat XLA's serialized
+                  row gathers on v5e: 8.6 vs 10.9 ms at stage-0 geometry),
+                  "stacked" for wide ones (window FLOPs scale with Cin and
+                  lose past Cin=32).
     """
+    if algo == "hybrid":
+        # real-TPU only: off-TPU the window kernel would run in interpret
+        # mode (slow python loop per grid step, and jaxlib 0.9.0's CPU
+        # backend has crashed under many interpret-mode compilations in
+        # one process) — stacked is the portable equivalent
+        Cin = features.shape[-1]
+        if (Cin <= 16 and 128 % Cin == 0
+                and jax.default_backend() == "tpu"):
+            from .pallas_gather import subm_conv_auto
+            return subm_conv_auto(
+                features, table, weights, bias, W=2048, B=1024,
+                compute_dtype=jnp.float32, interpret=False)
+        algo = "stacked"
     if algo in ("window", "window_bf16"):
         # Pallas windowed-gather path (MXU row-select; see pallas_gather).
         # Exact in "window" (fp32 select); "window_bf16" quantizes the

@@ -54,11 +54,12 @@ def main():
     iters = 8
     results = {}
     for dense_from, algo, dt in itertools.product(
-            [None, 1, 2, 3], ["loop", "stacked", "window", "window_bf16"],
+            [None, 1, 2, 3], ["loop", "stacked", "hybrid", "window", "window_bf16"],
             [None, "bf16"]):
         if dense_from is None and dt == "bf16":
             continue  # dtype knob only affects dense stages
-        if algo.startswith("window") and dense_from not in (None, 1):
+        if (algo.startswith("window") or algo == "hybrid") \
+                and dense_from not in (None, 1):
             continue  # window targets the sparse stages; 2 points suffice
         enc = SparseMiddleEncoder(
             channels=channels, vmax=vmax, grid_zyx=grid_zyx,

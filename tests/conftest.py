@@ -18,11 +18,10 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu"
 assert jax.device_count() == 8
 
-# persistent XLA compilation cache: repeated suite runs skip recompiles
-import os as _os
-
-_cache = _os.path.join(_os.path.dirname(_os.path.dirname(
-    _os.path.abspath(__file__))), ".jax_cache")
-_os.makedirs(_cache, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# NO persistent compilation cache on CPU: jaxlib 0.9.0's XLA:CPU AOT
+# deserialization reloads executables whose recorded machine-feature set
+# does not match the host (cpu_aot_loader.cc warns "could lead to
+# execution errors such as SIGILL") — reloading cached jit_cond
+# executables around interpret-mode Pallas calls segfaulted the suite.
+# TPU runs (bench.py) keep their own cache; CPU recompiles are cheap
+# enough at test sizes.

@@ -154,3 +154,31 @@ def test_stacked_algo_matches_loop_strided():
                                  algo="stacked")
     np.testing.assert_allclose(np.asarray(stacked), np.asarray(loop),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_hybrid_algo_matches_loop():
+    """hybrid = Pallas window for narrow Cin on real TPU, stacked
+    otherwise (always stacked on CPU where this test runs; the window
+    path's exactness is covered by test_pallas_gather in interpret
+    mode) — must reproduce the loop gather exactly either way."""
+    dims = (8, 10, 12)
+    for cin, seed in [(4, 7), (6, 8)]:
+        coords, valid, feats = _rand_sparse(seed, dims)
+        feats = feats[:, :1].repeat(cin, 1) if feats.shape[1] != cin else feats
+        rng = np.random.default_rng(seed)
+        feats = rng.normal(size=(feats.shape[0], cin)).astype(np.float32)
+        W = rng.normal(size=(27, cin, 6)).astype(np.float32) * 0.1
+        b = rng.normal(size=(6,)).astype(np.float32)
+
+        grid = SC.make_grid(jnp.asarray(coords), jnp.asarray(valid), dims)
+        order = np.argsort(np.where(valid,
+                                    (coords[:, 0] * dims[1] + coords[:, 1])
+                                    * dims[2] + coords[:, 2], np.prod(dims)))
+        sfeats = jnp.asarray(feats[order])
+        table = SC.neighbor_table(grid, dims)
+        loop = SC.subm_conv_apply(sfeats, table, jnp.asarray(W),
+                                  jnp.asarray(b), algo="loop")
+        hyb = SC.subm_conv_apply(sfeats, table, jnp.asarray(W),
+                                 jnp.asarray(b), algo="hybrid")
+        np.testing.assert_allclose(np.asarray(hyb), np.asarray(loop),
+                                   rtol=1e-5, atol=1e-5)
