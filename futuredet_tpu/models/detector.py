@@ -112,7 +112,11 @@ class VoxelNetDetector(nn.Module):
             algo = "loop" if algo.startswith("window") else "stacked"
         mid_kwargs = dict(
             channels=c.model.middle_channels,
-            vmax=c.model.middle_vmax,
+            # a downsample stage cannot have more active sites than its
+            # input, so capacities beyond the voxelizer cap are pure
+            # padding waste (e.g. 30k-voxel eval on the default
+            # (120k,60k,30k,16k) capacities would run stage 1 at 2x size)
+            vmax=tuple(min(v, max_v) for v in c.model.middle_vmax),
             grid_zyx=(gz + 1, gy, gx),
             dense_from_stage=c.model.middle_dense_from_stage,
             dense_dtype=(jnp.bfloat16
