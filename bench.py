@@ -118,7 +118,9 @@ def main():
     model = build_detector(cfg)
 
     rng = np.random.default_rng(0)
-    B, P = 1, cfg.voxel.max_points
+    # BENCH_BATCH=N measures batched serving throughput (sweeps/sec still
+    # normalized per sample: samples/sec = B / per-batch latency)
+    B, P = int(os.environ.get("BENCH_BATCH", "1")), cfg.voxel.max_points
     lo, hi = cfg.voxel.pc_range[0], cfg.voxel.pc_range[3]
     pts = np.concatenate([
         rng.uniform(lo, hi, (B, P, 2)), rng.uniform(-4, 2, (B, P, 1)),

@@ -42,6 +42,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     from futuredet_tpu.config import get_config
     from futuredet_tpu.eval.decode import decode_and_nms
     from futuredet_tpu.models.detector import build_detector
@@ -90,7 +95,9 @@ def main():
     feats, coords, num_points, _ = jax.jit(vox)(pts[0])
     vvalid = coords[:, 0] >= 0
     enc = SparseMiddleEncoder(
-        channels=cfg.model.middle_channels, vmax=cfg.model.middle_vmax,
+        channels=cfg.model.middle_channels,
+        # mirror the detector's capacity clamp
+        vmax=tuple(min(v, max_v) for v in cfg.model.middle_vmax),
         grid_zyx=(gz + 1, gy, gx),
         dense_from_stage=cfg.model.middle_dense_from_stage,
         gather_algo=cfg.model.middle_gather_algo)

@@ -38,8 +38,15 @@ def _chain(fn, x, iters=10):
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from futuredet_tpu.ops import sparse_conv as SC
     from futuredet_tpu.ops.pallas_gather import subm_conv_window
