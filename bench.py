@@ -39,7 +39,7 @@ def _enable_compilation_cache():
     except Exception:
         pass
 
-def _watchdog(seconds: float = 900.0):
+def _watchdog(seconds: float = 1800.0):
     """The tunneled TPU backend can wedge indefinitely (backend init hangs
     if the relay died). Fail loudly instead of hanging the driver."""
     import os
@@ -135,8 +135,10 @@ def main():
     # backend, and per-call device_get pays the tunnel RTT. We therefore chain
     # `iters` full inference passes on-device inside one jit (each iteration's
     # input perturbed by the previous output so nothing folds away) and
-    # device_get once; wall / iters == true per-sample latency.
-    iters = 20
+    # device_get once; wall / iters == true per-sample latency. The tunnel
+    # adds ~40 ms of FIXED per-call cost (dispatch + RTT, a test-rig
+    # artifact) — 100 iterations amortize it below 1% of a sample.
+    iters = int(os.environ.get("BENCH_ITERS", "100"))
 
     @jax.jit
     def infer_chain(variables, pts, valid):

@@ -30,9 +30,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.sparse_conv import (downsample_coords, make_grid, neighbor_table,
-                               scatter_dense, strided_gather_table,
-                               subm_conv_apply)
+from ..ops.sparse_conv import (_dense_index_rows, downsample_coords,
+                               make_grid, neighbor_table, scatter_dense,
+                               strided_gather_table, subm_conv_apply)
 from .readers import MaskedBatchNorm
 
 
@@ -218,7 +218,10 @@ class SparseMiddleEncoder(nn.Module):
                     compute_dtype=self.dense_dtype,
                     name=f"res0_{j}")(canvas, mask, train)
         else:
-            table = neighbor_table(grid, dims)
+            # one cell->site map per stage, shared by the stage's subm
+            # table and the next stage's strided table
+            dense_map = _dense_index_rows(grid, dims)
+            table = neighbor_table(grid, dims, dense_rows=dense_map)
             x = SparseConv(self.channels[0], use_bias=False,
                            gather_algo=algo,
                            name="conv_input")(x, table)
@@ -254,7 +257,8 @@ class SparseMiddleEncoder(nn.Module):
                         name=f"res{s}_{j}")(canvas, mask, train)
             else:
                 ngrid = downsample_coords(grid, out_dims, self.vmax[s])
-                dtable = strided_gather_table(grid, ngrid, dims)
+                dtable = strided_gather_table(grid, ngrid, dims,
+                                              dense_rows=dense_map)
                 x = SparseConv(self.channels[s], use_bias=False,
                                gather_algo=algo,
                                name=f"down{s}")(x, dtable)
@@ -263,7 +267,8 @@ class SparseMiddleEncoder(nn.Module):
                     x, ngrid.valid, train=train)
                 x = nn.relu(x)
                 grid, dims = ngrid, out_dims
-                table = neighbor_table(grid, dims)
+                dense_map = _dense_index_rows(grid, dims)
+                table = neighbor_table(grid, dims, dense_rows=dense_map)
                 for j in range(2):
                     x = SparseBasicBlock(self.channels[s],
                                          axis_name=self.axis_name,

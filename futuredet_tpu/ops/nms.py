@@ -9,8 +9,15 @@ The input convention matches rotate_nms_pcdet: boxes (N, 7)
 [x, y, z, w, l, h, rot] in the decode frame; internally transformed to the
 physical pcdet frame [x, y, l, w, -rot-pi/2] before IoU (ref :256-257).
 
-Greedy suppression runs as a fori_loop over the score-sorted prefix — exactly
-the sequential-greedy semantics of the CUDA kernel, fixed at `pre_max` boxes.
+Greedy suppression is computed as the unique fixpoint of
+    alive[i] = valid[i] and not exists j < i: alive[j] and iou[j,i] > thr
+iterated Jacobi-style (each sweep is one (P,P)x(P,) masked matvec on the
+MXU). Starting from all-valid, even iterates decrease and odd iterates
+increase toward the greedy solution; both reach it within the longest
+suppression-chain depth (~5-15 on detection workloads, bounded by P), and
+consecutive equal iterates certify the fixpoint. This replaces a P-step
+sequential fori_loop (~1 ms at P=1000 from per-step latency) with ~10
+matvec sweeps — identical output to the CUDA kernel's sequential greedy.
 """
 from __future__ import annotations
 
@@ -20,6 +27,31 @@ import jax.numpy as jnp
 import numpy as np
 
 from .rotated_iou import pairwise_iou_bev
+
+
+def _greedy_alive(suppress, alive0):
+    """Fixpoint of the greedy-NMS recurrence (see module docstring).
+
+    suppress (P, P) bool — suppress[j, i] True when j would kill i (any
+    ordering; the strict j<i constraint is applied here); alive0 (P,) bool.
+    """
+    P = alive0.shape[0]
+    idx = jnp.arange(P)
+    s = (suppress & (idx[:, None] < idx[None, :])).astype(jnp.float32)
+
+    def cond(state):
+        i, prev, a = state
+        return (i < P) & jnp.any(prev != a)
+
+    def body(state):
+        i, _, a = state
+        nxt = alive0 & ~(jnp.dot(a.astype(jnp.float32), s,
+                                 preferred_element_type=jnp.float32) > 0.0)
+        return i + 1, a, nxt
+
+    _, _, alive = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), ~alive0, alive0))
+    return alive
 
 
 @partial(jax.jit, static_argnames=("pre_max", "post_max"))
@@ -40,15 +72,7 @@ def rotate_nms(boxes, scores, valid, *, iou_threshold: float,
         [b[:, 0], b[:, 1], b[:, 4], b[:, 3], -b[:, 6] - np.pi / 2], -1)
     iou = pairwise_iou_bev(nms_boxes, nms_boxes)            # (P,P)
 
-    suppress = iou > iou_threshold
-    idx = jnp.arange(pre_max)
-
-    def body(i, alive):
-        keep_i = alive[i]
-        kill = keep_i & suppress[i] & (idx > i)
-        return alive & ~kill
-
-    alive = jax.lax.fori_loop(0, pre_max, body, alive0)
+    alive = _greedy_alive(iou > iou_threshold, alive0)
 
     # stable-select kept boxes in score order, pad with -1
     rank = jnp.cumsum(alive.astype(jnp.int32)) - 1
@@ -72,15 +96,8 @@ def circle_nms(centers, scores, valid, *, min_radius: float, post_max: int = 83)
     top_scores, order = jax.lax.top_k(scores, N)
     c = centers[order]
     d2 = jnp.sum((c[:, None, :] - c[None, :, :]) ** 2, -1)
-    suppress = d2 <= min_radius
     alive0 = jnp.isfinite(top_scores)
-    idx = jnp.arange(N)
-
-    def body(i, alive):
-        kill = alive[i] & suppress[i] & (idx > i)
-        return alive & ~kill
-
-    alive = jax.lax.fori_loop(0, N, body, alive0)
+    alive = _greedy_alive(d2 <= min_radius, alive0)
     rank = jnp.cumsum(alive.astype(jnp.int32)) - 1
     sel = jnp.full((post_max,), -1, jnp.int32)
     src = jnp.where(alive & (rank < post_max), rank, post_max)

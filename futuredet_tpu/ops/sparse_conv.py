@@ -61,34 +61,65 @@ def _offsets(kernel: int = 3):
     return out
 
 
-def _dense_index_grid(grid: SparseGrid, dims) -> jax.Array:
-    """Dense (Z*Y*X,) int32 map cell -> site index (V where empty).
+_PROBE_LANES = 128
 
-    One 120k scatter + direct gathers beats binary search by ~100x on TPU:
-    searchsorted lowers to a 17-deep serial gather chain per query, while the
-    dense grid costs a single one-shot scatter and O(1) lookups. Stage-0 cost
-    is a 340 MB transient (41x1440x1440 int32) — cheap against v5e HBM.
+
+def _dense_index_rows(grid: SparseGrid, dims) -> jax.Array:
+    """Dense cell -> site-index map, shaped (R, 128) int32 (V where empty).
+
+    A scatter + direct lookups beats binary search by ~100x on TPU
+    (searchsorted lowers to a serial gather chain per query). The map is
+    row-shaped because PROBING it with single-int32 gathers is issue-rate
+    bound (~17 ns/probe measured on v5e) while 512 B ROW gathers issue
+    ~5x faster: `_probe` fetches the 128-lane row containing each cell and
+    lane-selects on the VPU — 1.7x faster table builds end to end.
+
+    Row count leaves >= `lanes` slack past cell `total` so the probe
+    sentinel (cell == total, always V) can never collide with the scatter
+    trash slot (last element) used for invalid sites.
+
+    (int16 rows were tried for the 340 MB stage-0 map and measured
+    SLOWER e2e — sub-word lane selects cost more than the halved gather
+    traffic saves.)
     """
     V = grid.ids.shape[0]
     Z, Y, X = dims
     total = Z * Y * X
-    dense = jnp.full((total + 1,), V, jnp.int32)
-    idx = jnp.where(grid.valid, grid.ids, total)
+    L = _PROBE_LANES
+    rows = -(-(total + 1) // L) + 1
+    dense = jnp.full((rows * L,), V, jnp.int32)
+    idx = jnp.where(grid.valid, grid.ids, rows * L - 1)
     dense = dense.at[idx].set(jnp.arange(V, dtype=jnp.int32))
-    return dense[:total]
+    return dense.reshape(rows, L)
 
 
-def neighbor_table(grid: SparseGrid, dims, kernel: int = 3) -> jax.Array:
-    """(K, V) gather indices into the site array; V (trash) where absent."""
+def _probe(dense_rows: jax.Array, q: jax.Array) -> jax.Array:
+    """Look up cells q (any shape, int32; pass `total` for a guaranteed-V
+    sentinel) in a `_dense_index_rows` map."""
+    L = dense_rows.shape[1]
+    g = dense_rows[q // L]
+    oh = (q % L)[..., None] == jnp.arange(L, dtype=jnp.int32)
+    # exactly one lane survives per probe, so the sum is a select (and
+    # cannot overflow int16 maps)
+    return jnp.sum(jnp.where(oh, g, 0), axis=-1).astype(jnp.int32)
+
+
+def neighbor_table(grid: SparseGrid, dims, kernel: int = 3,
+                   dense_rows: jax.Array | None = None) -> jax.Array:
+    """(K, V) gather indices into the site array; V (trash) where absent.
+
+    Pass `dense_rows` (a `_dense_index_rows(grid, dims)` map) to share one
+    map between this and `strided_gather_table` on the same grid."""
     V = grid.ids.shape[0]
-    dense = _dense_index_grid(grid, dims)
+    total = dims[0] * dims[1] * dims[2]
+    dense = _dense_index_rows(grid, dims) if dense_rows is None \
+        else dense_rows
     offs = np.array(_offsets(kernel), np.int32)            # (K, 3)
     c = grid.coords[None, :, :] + offs[:, None, :]         # (K, V, 3)
     inb = jnp.all((c >= 0) & (c < jnp.asarray(dims, jnp.int32)), axis=-1)
     q = (c[..., 0] * dims[1] + c[..., 1]) * dims[2] + c[..., 2]
-    q = jnp.clip(q, 0, dims[0] * dims[1] * dims[2] - 1)
-    pos = dense[q]                                         # (K, V)
-    return jnp.where(inb & grid.valid[None, :], pos, V)
+    q = jnp.where(inb & grid.valid[None, :], q, total)
+    return _probe(dense, q)                                # (K, V)
 
 
 def subm_conv_apply(features, table, weights, bias=None,
@@ -183,19 +214,21 @@ def downsample_coords(grid: SparseGrid, out_dims: Tuple[int, int, int],
 
 
 def strided_gather_table(in_grid: SparseGrid, out_grid: SparseGrid, dims,
-                         kernel: int = 3) -> jax.Array:
+                         kernel: int = 3,
+                         dense_rows: jax.Array | None = None) -> jax.Array:
     """(K, V_out) indices into input sites for a kernel-3 stride-2 pad-1 conv:
     input position for output o and offset k is 2*o + k - 1. `dims` = INPUT
-    grid dims."""
-    V_in = in_grid.ids.shape[0]
-    dense = _dense_index_grid(in_grid, dims)
+    grid dims. `dense_rows`: share the input grid's cell map (see
+    `neighbor_table`)."""
+    total = dims[0] * dims[1] * dims[2]
+    dense = _dense_index_rows(in_grid, dims) if dense_rows is None \
+        else dense_rows
     offs = np.array(_offsets(kernel), np.int32)            # (K, 3)
     c = 2 * out_grid.coords[None, :, :] + offs[:, None, :]
     inb = jnp.all((c >= 0) & (c < jnp.asarray(dims, jnp.int32)), axis=-1)
     q = (c[..., 0] * dims[1] + c[..., 1]) * dims[2] + c[..., 2]
-    q = jnp.clip(q, 0, dims[0] * dims[1] * dims[2] - 1)
-    pos = dense[q]
-    return jnp.where(inb & out_grid.valid[None, :], pos, V_in)
+    q = jnp.where(inb & out_grid.valid[None, :], q, total)
+    return _probe(dense, q)
 
 
 def scatter_dense(features, grid: SparseGrid, dims):

@@ -1,0 +1,52 @@
+"""Shared on-device timing harness for the profiling scripts.
+
+The tunneled TPU backend has ~30 ms of fixed per-call overhead (dispatch +
+tunnel RTT + the single device_get); at iters=10 that inflates every
+"per-iteration" number by ~3 ms. Chain MANY iterations (default 100) so the
+fixed cost amortizes below measurement noise, and always report both.
+
+block_until_ready does not synchronize on this backend, so each iteration
+feeds a token derived from the previous output back into the input (true
+data dependence) and ONE device_get ends the chain.
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+FIXED_OVERHEAD_MS = 30.0   # indicative; measured 2026-08-17 (noop chain)
+
+
+def chain_ms(fn, x, iters: int = 100) -> float:
+    """Per-iteration milliseconds of fn(x)->array, fixed cost amortized."""
+    @jax.jit
+    def chain(x):
+        def body(i, carry):
+            tok, acc = carry
+            out = fn(x + tok)
+            return (jnp.float32(jnp.sum(out)) * 1e-12,
+                    acc + jnp.float32(jnp.sum(out)))
+        return jax.lax.fori_loop(0, iters, body,
+                                 (jnp.float32(0), jnp.float32(0)))[1]
+
+    _ = jax.device_get(chain(x))            # compile
+    t0 = time.perf_counter()
+    _ = jax.device_get(chain(x))
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def chain_tok_ms(fn, iters: int = 100) -> float:
+    """Like chain_ms for fn(token_scalar)->array (no array input)."""
+    @jax.jit
+    def chain(tok0):
+        def body(i, tok):
+            out = fn(tok)
+            return jnp.float32(jnp.sum(out)) * 1e-12
+        return jax.lax.fori_loop(0, iters, body, tok0)
+
+    _ = jax.device_get(chain(jnp.float32(0.0)))
+    t0 = time.perf_counter()
+    _ = jax.device_get(chain(jnp.float32(0.0)))
+    return (time.perf_counter() - t0) / iters * 1e3

@@ -92,20 +92,24 @@ def main():
         lambda tok: jnp.sum(vox(pts[0] + tok)[0]) * 1e-12)
     print(f"voxelize            {t_vox:8.1f} ms")
 
-    feats, coords, num_points, _ = jax.jit(vox)(pts[0])
-    vvalid = coords[:, 0] >= 0
-    enc = SparseMiddleEncoder(
-        channels=cfg.model.middle_channels,
-        # mirror the detector's capacity clamp
-        vmax=tuple(min(v, max_v) for v in cfg.model.middle_vmax),
-        grid_zyx=(gz + 1, gy, gx),
-        dense_from_stage=cfg.model.middle_dense_from_stage,
-        gather_algo=cfg.model.middle_gather_algo)
-    evars = jax.jit(enc.init)(jax.random.PRNGKey(0), feats, coords, vvalid)
-    t_mid = _time_chain(
-        lambda tok: jnp.sum(enc.apply(evars, feats + tok, coords,
-                                      vvalid)) * 1e-12)
-    print(f"middle encoder      {t_mid:8.1f} ms")
+    if cfg.model.detector != "pointpillars" and cfg.model.middle == "sparse":
+        feats, coords, num_points, _ = jax.jit(vox)(pts[0])
+        vvalid = coords[:, 0] >= 0
+        enc = SparseMiddleEncoder(
+            channels=cfg.model.middle_channels,
+            # mirror the detector's capacity clamp
+            vmax=tuple(min(v, max_v) for v in cfg.model.middle_vmax),
+            grid_zyx=(gz + 1, gy, gx),
+            dense_from_stage=cfg.model.middle_dense_from_stage,
+            gather_algo=cfg.model.middle_gather_algo)
+        evars = jax.jit(enc.init)(jax.random.PRNGKey(0), feats, coords,
+                                  vvalid)
+        t_mid = _time_chain(
+            lambda tok: jnp.sum(enc.apply(evars, feats + tok, coords,
+                                          vvalid)) * 1e-12)
+        print(f"middle encoder      {t_mid:8.1f} ms")
+    else:
+        t_mid = 0.0
 
     def fwd(tok):
         preds = model.apply(variables, pts + tok, valid, train=False)

@@ -182,3 +182,23 @@ def test_hybrid_algo_matches_loop():
                                  jnp.asarray(b), algo="hybrid")
         np.testing.assert_allclose(np.asarray(hyb), np.asarray(loop),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_shared_dense_map_tables_match():
+    """neighbor_table / strided_gather_table with an explicitly shared
+    `_dense_index_rows` map must equal their self-built variants (the
+    middle encoder shares one map per stage)."""
+    dims = (8, 10, 12)
+    coords, valid, _ = _rand_sparse(3, dims)
+    grid = SC.make_grid(jnp.asarray(coords), jnp.asarray(valid), dims)
+    dmap = SC._dense_index_rows(grid, dims)
+
+    t0 = SC.neighbor_table(grid, dims)
+    t1 = SC.neighbor_table(grid, dims, dense_rows=dmap)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+    out_dims = tuple(max((d + 1) // 2, 1) for d in dims)
+    ngrid = SC.downsample_coords(grid, out_dims, 64)
+    s0 = SC.strided_gather_table(grid, ngrid, dims)
+    s1 = SC.strided_gather_table(grid, ngrid, dims, dense_rows=dmap)
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
