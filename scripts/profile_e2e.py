@@ -16,13 +16,18 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-def _time_chain(fn, iters=10):
-    """fn(tok: f32) -> f32 token; chained on device, one device_get."""
+
+def _time_chain(fn, iters=50):
+    """fn(tok: f32) -> f32 token; chained on device, one device_get.
+    iters=50 amortizes the tunnel's ~40 ms fixed per-call cost (0.8 ms
+    residual — see scripts/_timing.py)."""
     import jax
     import jax.numpy as jnp
 

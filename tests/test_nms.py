@@ -83,3 +83,31 @@ def test_circle_nms_basic():
                               jnp.ones(3, bool), min_radius=1.0, post_max=83)
     assert int(count) == 2
     assert np.asarray(sel)[:2].tolist() == [0, 2]
+
+
+def test_rotate_nms_long_suppression_chain():
+    """Adversarial case for the Jacobi fixpoint: a row of boxes where each
+    overlaps only its neighbors, scores strictly decreasing — greedy keeps
+    every other box, and the alternation chain is as deep as the row. The
+    iteration must still reproduce sequential greedy exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from futuredet_tpu.ops.nms import rotate_nms, rotate_nms_np
+
+    n = 64
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, 0] = np.arange(n) * 1.2      # centers 1.2 m apart
+    boxes[:, 3] = 2.0                     # w
+    boxes[:, 4] = 2.0                     # l
+    boxes[:, 5] = 1.5
+    scores = np.linspace(1.0, 0.1, n).astype(np.float32)
+    valid = np.ones(n, bool)
+
+    sel, cnt = rotate_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                          jnp.asarray(valid), iou_threshold=0.1,
+                          pre_max=n, post_max=n)
+    got = np.asarray(sel)
+    got = got[got >= 0]
+    ref = rotate_nms_np(boxes, scores, 0.1, pre_max=n, post_max=n)
+    np.testing.assert_array_equal(got, ref)
+    assert int(cnt) == len(ref) == 32   # every other box survives
