@@ -46,6 +46,9 @@ def parse_args(argv=None):
     p.add_argument("--debug", action="store_true")
     p.add_argument("--profile", default=None,
                    help="capture a jax.profiler trace to this log dir")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="log scalars to {work_dir}/tb (ref torchie "
+                        "TensorboardLoggerHook)")
     return p.parse_args(argv)
 
 
@@ -149,16 +152,23 @@ def main(argv=None):
                     "mFAP": round(float(_np.mean(
                         list(res.mean_dist_faps.values()))), 4)}
 
+    hooks = []
+    if args.tensorboard:
+        from ..train.trainer import TensorBoardHook
+        hooks.append(TensorBoardHook(
+            os.path.join(work_dir, "tb"),
+            interval=cfg.train.log_interval))
     if args.profile:
         from ..utils.profiling import trace
         with trace(args.profile):
             state = train(cfg, batches, steps_per_epoch=steps_per_epoch,
                           work_dir=work_dir, n_space=args.space,
-                          val_fn=val_fn, resume=args.resume_from)
+                          val_fn=val_fn, resume=args.resume_from,
+                          hooks=hooks)
     else:
         state = train(cfg, batches, steps_per_epoch=steps_per_epoch,
                       work_dir=work_dir, n_space=args.space,
-                      val_fn=val_fn, resume=args.resume_from)
+                      val_fn=val_fn, resume=args.resume_from, hooks=hooks)
     logging.info("training done at step %d; checkpoints in %s",
                  int(state.step), work_dir)
     return state

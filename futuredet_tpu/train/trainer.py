@@ -48,6 +48,39 @@ class Hook:
         pass
 
 
+class TensorBoardHook(Hook):
+    """Scalar logging to TensorBoard (ref torchie TensorboardLoggerHook,
+    det3d/torchie/trainer/hooks/logger/tensorboard.py). Uses torch's
+    bundled SummaryWriter; a no-op (with one warning) if tensorboard's
+    event-writer deps are unavailable.
+    """
+
+    def __init__(self, log_dir: str, interval: int = 25):
+        self.interval = interval
+        self._buf = MetricBuffer()
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self.writer = SummaryWriter(log_dir=log_dir)
+        except Exception as e:                     # pragma: no cover
+            log.warning("tensorboard unavailable (%s): TB logging disabled",
+                        e)
+            self.writer = None
+
+    def after_step(self, step: int, state, metrics):
+        if self.writer is None:
+            return
+        self._buf.push({k: v for k, v in metrics.items()
+                        if np.ndim(v) == 0})
+        if (step + 1) % self.interval == 0:
+            for k, v in self._buf.mean_and_clear().items():
+                self.writer.add_scalar(f"train/{k}", v, step + 1)
+
+    def after_train(self, state):
+        if self.writer is not None:
+            self.writer.flush()
+            self.writer.close()
+
+
 class MetricBuffer:
     """ref torchie LogBuffer: windowed averaging for log lines."""
 

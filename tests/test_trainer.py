@@ -162,3 +162,22 @@ def test_trainer_preemption_checkpoint_and_resume(tmp_path):
                    log_fn=lines.append)
     assert int(state2.step) == 9
     assert any("resumed from step 5" in l for l in lines)
+
+
+def test_tensorboard_hook_writes_events(tmp_path):
+    """TensorBoardHook buffers scalars and writes event files at the
+    interval (ref torchie TensorboardLoggerHook)."""
+    import os
+
+    from futuredet_tpu.train.trainer import TensorBoardHook
+
+    hook = TensorBoardHook(str(tmp_path), interval=2)
+    if hook.writer is None:  # tensorboard deps unavailable: no-op path
+        hook.after_step(0, None, {"loss": 1.0})
+        hook.after_train(None)
+        return
+    hook.after_step(0, None, {"loss": 1.0, "grad_norm": 2.0})
+    hook.after_step(1, None, {"loss": 3.0, "grad_norm": 4.0})
+    hook.after_train(None)
+    files = [f for f in os.listdir(tmp_path) if "tfevents" in f]
+    assert files, "no tensorboard event file written"
