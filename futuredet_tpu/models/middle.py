@@ -44,10 +44,14 @@ def _kernel_init(key, shape, dtype=jnp.float32):
 
 
 class SparseConv(nn.Module):
-    """One sparse conv (submanifold or strided, depending on the table)."""
+    """One sparse conv (submanifold or strided, depending on the table).
+
+    `symmetric=True` for submanifold tables enables the gather-transpose
+    custom VJP (backward ~2x forward instead of ~7x scatter-adds)."""
     features: int
     use_bias: bool = True
     gather_algo: str = "loop"
+    symmetric: bool = False
 
     @nn.compact
     def __call__(self, feats, table):
@@ -56,7 +60,8 @@ class SparseConv(nn.Module):
         w = self.param("kernel", _kernel_init, (K, cin, self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,)) \
             if self.use_bias else None
-        return subm_conv_apply(feats, table, w, b, algo=self.gather_algo)
+        return subm_conv_apply(feats, table, w, b, algo=self.gather_algo,
+                               symmetric=self.symmetric)
 
 
 class DenseConv3d(nn.Module):
@@ -138,12 +143,12 @@ class SparseBasicBlock(nn.Module):
     def __call__(self, feats, table, valid, train: bool = False):
         identity = feats
         x = SparseConv(self.features, gather_algo=self.gather_algo,
-                       name="conv1")(feats, table)
+                       symmetric=True, name="conv1")(feats, table)
         x = MaskedBatchNorm(axis_name=self.axis_name, name="bn1")(
             x, valid, train=train)
         x = nn.relu(x)
         x = SparseConv(self.features, gather_algo=self.gather_algo,
-                       name="conv2")(x, table)
+                       symmetric=True, name="conv2")(x, table)
         x = MaskedBatchNorm(axis_name=self.axis_name, name="bn2")(
             x, valid, train=train)
         x = nn.relu(x + identity)
@@ -223,7 +228,7 @@ class SparseMiddleEncoder(nn.Module):
             dense_map = _dense_index_rows(grid, dims)
             table = neighbor_table(grid, dims, dense_rows=dense_map)
             x = SparseConv(self.channels[0], use_bias=False,
-                           gather_algo=algo,
+                           gather_algo=algo, symmetric=True,
                            name="conv_input")(x, table)
             x = MaskedBatchNorm(axis_name=self.axis_name, name="bn_input")(
                 x, grid.valid, train=train)

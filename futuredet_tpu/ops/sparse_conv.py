@@ -122,8 +122,77 @@ def neighbor_table(grid: SparseGrid, dims, kernel: int = 3,
     return _probe(dense, q)                                # (K, V)
 
 
+def _gather_conv(features, table, weights, bias, compute_dtype, algo):
+    """The raw gather->matmul contraction (loop / stacked)."""
+    V, Cin = features.shape
+    K = table.shape[0]
+    cd = compute_dtype or features.dtype
+    padded = jnp.concatenate(
+        [features.astype(cd), jnp.zeros((1, Cin), cd)], 0)
+    w = weights.astype(cd)
+    if algo == "stacked":
+        N = table.shape[1]             # output sites (N < V for strided)
+        g = padded[table]                                  # (K, N, Cin)
+        g = jnp.moveaxis(g, 0, 1).reshape(N, K * Cin)
+        out = jnp.dot(g, w.reshape(K * Cin, -1),
+                      preferred_element_type=jnp.float32)
+    else:
+        out = None
+        for k in range(K):
+            g = padded[table[k]]                           # (V, Cin)
+            acc = jnp.dot(g, w[k], preferred_element_type=jnp.float32)
+            out = acc if out is None else out + acc
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def _subm_conv_sym_vjp(features, table, weights, bias, compute_dtype, algo):
+    """Gather-conv with a custom VJP for SYMMETRIC (submanifold) tables.
+
+    Autodiff of the gather emits 27xV scatter-adds for dX, which are ~7x
+    the forward cost on TPU (measured 29.6 vs 3.5 ms at stage-1 train
+    geometry). For a submanifold table the transpose is itself a gather:
+    u = table[k][v]  <=>  v = table[K-1-k][u] (offset -o sits at row
+    K-1-k of the row-major offset enumeration), so
+
+        dX = gather_conv(dY, table, flip_k(W)^T)
+        dW[k] = gather(X, table[k])^T @ dY
+        db = sum(dY)
+
+    — backward becomes two gather-passes instead of scatter-adds.
+    """
+    has_bias = bias is not None
+
+    @jax.custom_vjp
+    def f(x, w, b):
+        return _gather_conv(x, table, w, b if has_bias else None,
+                            compute_dtype, algo)
+
+    def f_fwd(x, w, b):
+        return f(x, w, b), (x, w)
+
+    def f_bwd(res, gy):
+        x, w = res
+        K, Cin, Cout = w.shape
+        wT = jnp.flip(w, 0).transpose(0, 2, 1)          # (K, Cout, Cin)
+        dx = _gather_conv(gy, table, wT, None, compute_dtype, algo)
+        padded = jnp.concatenate(
+            [x, jnp.zeros((1, Cin), x.dtype)], 0)
+        g = padded[table]                                # (K, V, Cin)
+        dw = jnp.einsum("kvc,vo->kco", g, gy,
+                        preferred_element_type=jnp.float32)
+        db = jnp.sum(gy, 0) if has_bias else jnp.zeros((0,), gy.dtype)
+        return dx.astype(x.dtype), dw.astype(w.dtype), db
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(features, weights,
+             bias if has_bias else jnp.zeros((0,), features.dtype))
+
+
 def subm_conv_apply(features, table, weights, bias=None,
-                    compute_dtype=None, algo: str = "loop"):
+                    compute_dtype=None, algo: str = "loop",
+                    symmetric: bool = False):
     """Submanifold conv: features (V, Cin), table (K, V), weights (K, Cin, Cout).
 
     Output defined on the SAME active sites (submanifold semantics,
@@ -144,7 +213,15 @@ def subm_conv_apply(features, table, weights, bias=None,
                   row gathers on v5e: 8.6 vs 10.9 ms at stage-0 geometry),
                   "stacked" for wide ones (window FLOPs scale with Cin and
                   lose past Cin=32).
+
+    symmetric: set True when `table` is a SUBMANIFOLD neighbor table (from
+    `neighbor_table` — NOT a strided table): enables the gather-transpose
+    custom VJP (see `_subm_conv_sym_vjp`), making backward ~2x forward
+    instead of ~7x. Only applies to the differentiable loop/stacked paths.
     """
+    if symmetric and algo in ("loop", "stacked"):
+        return _subm_conv_sym_vjp(features, table, weights, bias,
+                                  compute_dtype, algo)
     if algo == "hybrid":
         # real-TPU only: off-TPU the window kernel would run in interpret
         # mode (slow python loop per grid step, and jaxlib 0.9.0's CPU
@@ -170,27 +247,7 @@ def subm_conv_apply(features, table, weights, bias=None,
             else jnp.float32,
             interpret=jax.default_backend() != "tpu")
 
-    V, Cin = features.shape
-    K = table.shape[0]
-    cd = compute_dtype or features.dtype
-    padded = jnp.concatenate(
-        [features.astype(cd), jnp.zeros((1, Cin), cd)], 0)
-    w = weights.astype(cd)
-    if algo == "stacked":
-        N = table.shape[1]             # output sites (N < V for strided)
-        g = padded[table]                                  # (K, N, Cin)
-        g = jnp.moveaxis(g, 0, 1).reshape(N, K * Cin)
-        out = jnp.dot(g, w.reshape(K * Cin, -1),
-                      preferred_element_type=jnp.float32)
-    else:
-        out = None
-        for k in range(K):
-            g = padded[table[k]]                           # (V, Cin)
-            acc = jnp.dot(g, w[k], preferred_element_type=jnp.float32)
-            out = acc if out is None else out + acc
-    if bias is not None:
-        out = out + bias
-    return out
+    return _gather_conv(features, table, weights, bias, compute_dtype, algo)
 
 
 def downsample_coords(grid: SparseGrid, out_dims: Tuple[int, int, int],

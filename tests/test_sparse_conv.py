@@ -202,3 +202,47 @@ def test_shared_dense_map_tables_match():
     s0 = SC.strided_gather_table(grid, ngrid, dims)
     s1 = SC.strided_gather_table(grid, ngrid, dims, dense_rows=dmap)
     np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+
+
+def test_symmetric_custom_vjp_matches_autodiff():
+    """The gather-transpose VJP (symmetric submanifold tables) must match
+    plain autodiff gradients for features, weights and bias."""
+    dims = (8, 10, 12)
+    coords, valid, feats = _rand_sparse(11, dims)
+    rng = np.random.default_rng(12)
+    Cin, Cout = feats.shape[1], 6
+    W = rng.normal(size=(27, Cin, Cout)).astype(np.float32) * 0.1
+    b = rng.normal(size=(Cout,)).astype(np.float32)
+    gy_seed = rng.normal(size=(feats.shape[0], Cout)).astype(np.float32)
+
+    grid = SC.make_grid(jnp.asarray(coords), jnp.asarray(valid), dims)
+    order = np.argsort(np.where(valid,
+                                (coords[:, 0] * dims[1] + coords[:, 1])
+                                * dims[2] + coords[:, 2], np.prod(dims)))
+    x = jnp.asarray(feats[order])
+    table = SC.neighbor_table(grid, dims)
+    gy = jnp.asarray(gy_seed)
+
+    for algo in ("loop", "stacked"):
+        def loss(x, w, bb, symmetric):
+            out = SC.subm_conv_apply(x, table, w, bb, algo=algo,
+                                     symmetric=symmetric)
+            return jnp.sum(out * gy)
+
+        for use_bias in (True, False):
+            bb = jnp.asarray(b) if use_bias else None
+            args = (x, jnp.asarray(W)) + ((bb,) if use_bias else ())
+
+            def l_sym(*a):
+                return loss(a[0], a[1], a[2] if use_bias else None, True)
+
+            def l_ref(*a):
+                return loss(a[0], a[1], a[2] if use_bias else None, False)
+
+            g_sym = jax.grad(l_sym, argnums=tuple(range(len(args))))(*args)
+            g_ref = jax.grad(l_ref, argnums=tuple(range(len(args))))(*args)
+            for gs, gr in zip(g_sym, g_ref):
+                np.testing.assert_allclose(np.asarray(gs), np.asarray(gr),
+                                           rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(
+                float(l_sym(*args)), float(l_ref(*args)), rtol=1e-5)
