@@ -32,7 +32,8 @@ import jax.numpy as jnp
 
 from ..ops.sparse_conv import (_dense_index_rows, downsample_coords,
                                make_grid, neighbor_table, scatter_dense,
-                               strided_gather_table, subm_conv_apply)
+                               strided_gather_table, strided_inverse_table,
+                               subm_conv_apply)
 from .readers import MaskedBatchNorm
 
 
@@ -54,14 +55,15 @@ class SparseConv(nn.Module):
     symmetric: bool = False
 
     @nn.compact
-    def __call__(self, feats, table):
+    def __call__(self, feats, table, inverse_table=None):
         K = table.shape[0]
         cin = feats.shape[-1]
         w = self.param("kernel", _kernel_init, (K, cin, self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,)) \
             if self.use_bias else None
         return subm_conv_apply(feats, table, w, b, algo=self.gather_algo,
-                               symmetric=self.symmetric)
+                               symmetric=self.symmetric,
+                               inverse_table=inverse_table)
 
 
 class DenseConv3d(nn.Module):
@@ -264,15 +266,20 @@ class SparseMiddleEncoder(nn.Module):
                 ngrid = downsample_coords(grid, out_dims, self.vmax[s])
                 dtable = strided_gather_table(grid, ngrid, dims,
                                               dense_rows=dense_map)
+                ndense_map = _dense_index_rows(ngrid, out_dims)
+                # inverse table only feeds the strided conv's custom VJP —
+                # skip the build at eval
+                inv = strided_inverse_table(grid, out_dims, ndense_map) \
+                    if train else None
                 x = SparseConv(self.channels[s], use_bias=False,
                                gather_algo=algo,
-                               name=f"down{s}")(x, dtable)
+                               name=f"down{s}")(x, dtable, inv)
                 x = MaskedBatchNorm(axis_name=self.axis_name,
                                     name=f"bn_down{s}")(
                     x, ngrid.valid, train=train)
                 x = nn.relu(x)
                 grid, dims = ngrid, out_dims
-                dense_map = _dense_index_rows(grid, dims)
+                dense_map = ndense_map
                 table = neighbor_table(grid, dims, dense_rows=dense_map)
                 for j in range(2):
                     x = SparseBasicBlock(self.channels[s],

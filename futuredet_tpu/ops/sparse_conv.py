@@ -161,38 +161,105 @@ def _subm_conv_sym_vjp(features, table, weights, bias, compute_dtype, algo):
         db = sum(dY)
 
     — backward becomes two gather-passes instead of scatter-adds.
+
+    `table` is a formal argument (float0 cotangent), NOT a closure: a
+    closed-over table leaks a BatchTracer when the conv runs under the
+    detector's nn.vmap.
     """
     has_bias = bias is not None
 
     @jax.custom_vjp
-    def f(x, w, b):
-        return _gather_conv(x, table, w, b if has_bias else None,
+    def f(x, tab, w, b):
+        return _gather_conv(x, tab, w, b if has_bias else None,
                             compute_dtype, algo)
 
-    def f_fwd(x, w, b):
-        return f(x, w, b), (x, w)
+    def f_fwd(x, tab, w, b):
+        return f(x, tab, w, b), (x, tab, w)
 
     def f_bwd(res, gy):
-        x, w = res
+        x, tab, w = res
         K, Cin, Cout = w.shape
         wT = jnp.flip(w, 0).transpose(0, 2, 1)          # (K, Cout, Cin)
-        dx = _gather_conv(gy, table, wT, None, compute_dtype, algo)
+        dx = _gather_conv(gy, tab, wT, None, compute_dtype, algo)
         padded = jnp.concatenate(
             [x, jnp.zeros((1, Cin), x.dtype)], 0)
-        g = padded[table]                                # (K, V, Cin)
+        g = padded[tab]                                  # (K, V, Cin)
         dw = jnp.einsum("kvc,vo->kco", g, gy,
                         preferred_element_type=jnp.float32)
         db = jnp.sum(gy, 0) if has_bias else jnp.zeros((0,), gy.dtype)
-        return dx.astype(x.dtype), dw.astype(w.dtype), db
+        return (dx.astype(x.dtype), np.zeros(tab.shape, jax.dtypes.float0),
+                dw.astype(w.dtype), db)
 
     f.defvjp(f_fwd, f_bwd)
-    return f(features, weights,
+    return f(features, table, weights,
+             bias if has_bias else jnp.zeros((0,), features.dtype))
+
+
+def strided_inverse_table(in_grid: SparseGrid, out_dims,
+                          dense_rows_out: jax.Array,
+                          kernel: int = 3) -> jax.Array:
+    """(K, V_in) indices into OUTPUT sites: row k holds the output site o
+    (V_out where none) with `strided_gather_table`'s tab[k][o] == u, i.e.
+    2*o_coords + offs[k] == in_coords[u]. Each input site feeds at most one
+    output per offset (oc = (c - off) / 2 when the parity matches), so the
+    transpose of a strided conv is again a gather — used by its custom VJP.
+    `dense_rows_out` = `_dense_index_rows(out_grid, out_dims)`."""
+    total = out_dims[0] * out_dims[1] * out_dims[2]
+    offs = np.array(_offsets(kernel), np.int32)              # (K, 3)
+    num = in_grid.coords[None, :, :] - offs[:, None, :]      # (K, V, 3)
+    even = jnp.all(num % 2 == 0, axis=-1)
+    oc = num // 2
+    inb = jnp.all((oc >= 0) & (oc < jnp.asarray(out_dims, jnp.int32)),
+                  axis=-1)
+    q = (oc[..., 0] * out_dims[1] + oc[..., 1]) * out_dims[2] + oc[..., 2]
+    q = jnp.where(even & inb & in_grid.valid[None, :], q, total)
+    return _probe(dense_rows_out, q)
+
+
+def _strided_conv_vjp(features, table, inv_table, weights, bias,
+                      compute_dtype, algo):
+    """Gather-conv with a custom VJP for STRIDED tables, using the
+    precomputed inverse table (see `strided_inverse_table`):
+
+        dX = gather_conv(dY, inv_table, W^T)     (no offset flip)
+        dW[k] = gather(X, table[k])^T @ dY
+
+    Tables are formal arguments (float0 cotangents) — see
+    `_subm_conv_sym_vjp` for why closures leak under vmap.
+    """
+    has_bias = bias is not None
+
+    @jax.custom_vjp
+    def f(x, tab, itab, w, b):
+        return _gather_conv(x, tab, w, b if has_bias else None,
+                            compute_dtype, algo)
+
+    def f_fwd(x, tab, itab, w, b):
+        return f(x, tab, itab, w, b), (x, tab, itab, w)
+
+    def f_bwd(res, gy):
+        x, tab, itab, w = res
+        K, Cin, Cout = w.shape
+        dx = _gather_conv(gy, itab, w.transpose(0, 2, 1), None,
+                          compute_dtype, algo)
+        padded = jnp.concatenate([x, jnp.zeros((1, Cin), x.dtype)], 0)
+        g = padded[tab]                                  # (K, N, Cin)
+        dw = jnp.einsum("kvc,vo->kco", g, gy,
+                        preferred_element_type=jnp.float32)
+        db = jnp.sum(gy, 0) if has_bias else jnp.zeros((0,), gy.dtype)
+        return (dx.astype(x.dtype), np.zeros(tab.shape, jax.dtypes.float0),
+                np.zeros(itab.shape, jax.dtypes.float0),
+                dw.astype(w.dtype), db)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(features, table, inv_table, weights,
              bias if has_bias else jnp.zeros((0,), features.dtype))
 
 
 def subm_conv_apply(features, table, weights, bias=None,
                     compute_dtype=None, algo: str = "loop",
-                    symmetric: bool = False):
+                    symmetric: bool = False,
+                    inverse_table=None):
     """Submanifold conv: features (V, Cin), table (K, V), weights (K, Cin, Cout).
 
     Output defined on the SAME active sites (submanifold semantics,
@@ -217,11 +284,16 @@ def subm_conv_apply(features, table, weights, bias=None,
     symmetric: set True when `table` is a SUBMANIFOLD neighbor table (from
     `neighbor_table` — NOT a strided table): enables the gather-transpose
     custom VJP (see `_subm_conv_sym_vjp`), making backward ~2x forward
-    instead of ~7x. Only applies to the differentiable loop/stacked paths.
+    instead of ~7x. For strided tables pass `inverse_table`
+    (`strided_inverse_table`) instead for the same effect. Both apply only
+    to the differentiable loop/stacked paths.
     """
     if symmetric and algo in ("loop", "stacked"):
         return _subm_conv_sym_vjp(features, table, weights, bias,
                                   compute_dtype, algo)
+    if inverse_table is not None and algo in ("loop", "stacked"):
+        return _strided_conv_vjp(features, table, inverse_table, weights,
+                                 bias, compute_dtype, algo)
     if algo == "hybrid":
         # real-TPU only: off-TPU the window kernel would run in interpret
         # mode (slow python loop per grid step, and jaxlib 0.9.0's CPU

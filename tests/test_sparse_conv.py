@@ -246,3 +246,40 @@ def test_symmetric_custom_vjp_matches_autodiff():
                                            rtol=1e-4, atol=1e-4)
             np.testing.assert_allclose(
                 float(l_sym(*args)), float(l_ref(*args)), rtol=1e-5)
+
+
+def test_strided_inverse_vjp_matches_autodiff():
+    """The strided-conv custom VJP (inverse-table gather transpose) must
+    match plain autodiff gradients."""
+    dims = (8, 10, 12)
+    coords, valid, feats = _rand_sparse(21, dims)
+    rng = np.random.default_rng(22)
+    Cin, Cout = feats.shape[1], 6
+    W = rng.normal(size=(27, Cin, Cout)).astype(np.float32) * 0.1
+
+    grid = SC.make_grid(jnp.asarray(coords), jnp.asarray(valid), dims)
+    order = np.argsort(np.where(valid,
+                                (coords[:, 0] * dims[1] + coords[:, 1])
+                                * dims[2] + coords[:, 2], np.prod(dims)))
+    x = jnp.asarray(feats[order])
+    out_dims = tuple(max((d + 1) // 2, 1) for d in dims)
+    ngrid = SC.downsample_coords(grid, out_dims, 64)
+    dtab = SC.strided_gather_table(grid, ngrid, dims)
+    ndense = SC._dense_index_rows(ngrid, out_dims)
+    inv = SC.strided_inverse_table(grid, out_dims, ndense)
+    gy = jnp.asarray(rng.normal(size=(64, Cout)).astype(np.float32))
+
+    for algo in ("loop", "stacked"):
+        def loss(x, w, use_inv):
+            out = SC.subm_conv_apply(
+                x, dtab, w, algo=algo,
+                inverse_table=inv if use_inv else None)
+            return jnp.sum(out * gy)
+
+        gs = jax.grad(lambda x, w: loss(x, w, True), argnums=(0, 1))(
+            x, jnp.asarray(W))
+        gr = jax.grad(lambda x, w: loss(x, w, False), argnums=(0, 1))(
+            x, jnp.asarray(W))
+        for a, b in zip(gs, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
