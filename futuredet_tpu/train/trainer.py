@@ -82,17 +82,22 @@ class TensorBoardHook(Hook):
 
 
 class MetricBuffer:
-    """ref torchie LogBuffer: windowed averaging for log lines."""
+    """ref torchie LogBuffer: windowed averaging for log lines.
+
+    `push` stores values UNCONVERTED (device arrays stay on device);
+    `mean_and_clear` pays the host transfer once per logging interval —
+    a per-step np.asarray would force a blocking device sync every step
+    (~tens of ms each on the tunneled backend)."""
 
     def __init__(self):
         self.buf = {}
 
     def push(self, metrics: dict):
         for k, v in metrics.items():
-            self.buf.setdefault(k, []).append(np.asarray(v))
+            self.buf.setdefault(k, []).append(v)
 
     def mean_and_clear(self) -> dict:
-        out = {k: float(np.mean([np.mean(x) for x in v]))
+        out = {k: float(np.mean([np.mean(np.asarray(x)) for x in v]))
                for k, v in self.buf.items()}
         self.buf = {}
         return out

@@ -16,7 +16,18 @@ import time
 import jax
 import jax.numpy as jnp
 
-FIXED_OVERHEAD_MS = 30.0   # indicative; measured 2026-08-17 (noop chain)
+FIXED_OVERHEAD_MS = 40.0   # indicative; measured 2026-08-17 (noop chain)
+
+
+def enable_compilation_cache():
+    """Persistent XLA compile cache for the profiling scripts (repeat runs
+    skip multi-minute compiles)."""
+    import os
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 def chain_ms(fn, x, iters: int = 100) -> float:

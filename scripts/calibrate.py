@@ -23,10 +23,8 @@ def main():
 
     from _timing import chain_ms
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from _timing import enable_compilation_cache
+    enable_compilation_cache()
 
     key = jax.random.PRNGKey(0)
     x8 = jnp.ones((8, 128), jnp.float32)

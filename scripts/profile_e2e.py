@@ -17,7 +17,6 @@ from __future__ import annotations
 import dataclasses
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -25,32 +24,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _time_chain(fn, iters=50):
-    """fn(tok: f32) -> f32 token; chained on device, one device_get.
-    iters=50 amortizes the tunnel's ~40 ms fixed per-call cost (0.8 ms
-    residual — see scripts/_timing.py)."""
-    import jax
-    import jax.numpy as jnp
+    """Shared harness (scripts/_timing.py); iters=50 leaves ~0.8 ms of the
+    tunnel's fixed per-call cost per iteration — fine at these stage
+    sizes."""
+    from _timing import chain_tok_ms
 
-    @jax.jit
-    def chain(tok0):
-        def body(i, tok):
-            return fn(tok)
-        return jax.lax.fori_loop(0, iters, body, tok0)
-
-    _ = jax.device_get(chain(jnp.float32(0.0)))  # compile
-    t0 = time.perf_counter()
-    _ = jax.device_get(chain(jnp.float32(0.0)))
-    return (time.perf_counter() - t0) / iters * 1e3
+    return chain_tok_ms(fn, iters=iters)
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from _timing import enable_compilation_cache
+    enable_compilation_cache()
 
     from futuredet_tpu.config import get_config
     from futuredet_tpu.eval.decode import decode_and_nms
@@ -67,6 +54,8 @@ def main():
         mupd["middle_gather_algo"] = os.environ["BENCH_GATHER"]
     if os.environ.get("BENCH_DENSE_FROM"):
         mupd["middle_dense_from_stage"] = int(os.environ["BENCH_DENSE_FROM"])
+    if os.environ.get("BENCH_DENSE_DTYPE"):
+        mupd["middle_dense_dtype"] = os.environ["BENCH_DENSE_DTYPE"]
     if mupd:
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, **mupd))
     model = build_detector(cfg)
@@ -106,6 +95,9 @@ def main():
             vmax=tuple(min(v, max_v) for v in cfg.model.middle_vmax),
             grid_zyx=(gz + 1, gy, gx),
             dense_from_stage=cfg.model.middle_dense_from_stage,
+            dense_dtype=(jnp.bfloat16
+                         if cfg.model.middle_dense_dtype == "bfloat16"
+                         else None),
             gather_algo=cfg.model.middle_gather_algo)
         evars = jax.jit(enc.init)(jax.random.PRNGKey(0), feats, coords,
                                   vvalid)

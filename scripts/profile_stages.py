@@ -30,10 +30,8 @@ def main():
 
     from _timing import chain_ms
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from _timing import enable_compilation_cache
+    enable_compilation_cache()
 
     from futuredet_tpu.ops import sparse_conv as SC
     from futuredet_tpu.ops.pallas_gather import subm_conv_window

@@ -22,10 +22,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from _timing import enable_compilation_cache
+    enable_compilation_cache()
 
     from futuredet_tpu.config import get_config
     from futuredet_tpu.data.synthetic import make_batch

@@ -163,10 +163,9 @@ def test_hybrid_algo_matches_loop():
     mode) — must reproduce the loop gather exactly either way."""
     dims = (8, 10, 12)
     for cin, seed in [(4, 7), (6, 8)]:
-        coords, valid, feats = _rand_sparse(seed, dims)
-        feats = feats[:, :1].repeat(cin, 1) if feats.shape[1] != cin else feats
+        coords, valid, _ = _rand_sparse(seed, dims)
         rng = np.random.default_rng(seed)
-        feats = rng.normal(size=(feats.shape[0], cin)).astype(np.float32)
+        feats = rng.normal(size=(coords.shape[0], cin)).astype(np.float32)
         W = rng.normal(size=(27, cin, 6)).astype(np.float32) * 0.1
         b = rng.normal(size=(6,)).astype(np.float32)
 
