@@ -44,3 +44,27 @@ def test_evaluate_writes_reference_csv(tmp_path, monkeypatch):
                                 "mAAP", "mAAR", "ATE", "ASE", "AOE", "AVE",
                                 "AAE", "ADE", "FDE", "MR", "mFAP_MR"]
     assert df["CLASS"].tolist() == ["car"]
+
+
+def test_cli_roundtrip_from_info_pkl(tmp_path, monkeypatch):
+    """Real-data entry path: train --info_path on a fabricated infos pkl
+    (sweep bins + forecast GT, no nuScenes archive needed) -> checkpoint ->
+    evaluate --info_path. Mirrors the reference's dataset-driven
+    tools/train.py + dist_test.py flow."""
+    monkeypatch.chdir(tmp_path)
+    from test_pipeline import _mk_infos
+    from futuredet_tpu.cli.train import main as train_main
+    from futuredet_tpu.cli.evaluate import main as eval_main
+
+    info_path = _mk_infos(tmp_path, n_samples=4, n_sweeps=2)
+    state = train_main(["--model", "forecast_n0", "--tiny",
+                        "--info_path", info_path,
+                        "--batch_size", "2", "--epochs", "1"])
+    assert int(state.step) >= 1
+
+    out = tmp_path / "metrics_info.json"
+    eval_main(["--model", "forecast_n0", "--tiny",
+               "--info_path", info_path, "--batch_size", "2",
+               "--forecast_mode", "velocity_constant", "--out", str(out)])
+    doc = json.loads(out.read_text())
+    assert "car" in doc["mean_dist_aps"]
