@@ -25,6 +25,12 @@ def parse_args(argv=None):
     p.add_argument("--dataset", default="nusc")
     p.add_argument("--architecture", default="centerpoint")
     p.add_argument("--info_path", default=None, help="nuScenes infos pkl")
+    p.add_argument("--db_info_path", default=None,
+                   help="GT-AUG dbinfos pkl (default: dbinfos_train_"
+                        "{nsweeps}sweeps_withvelo.pkl next to --info_path)")
+    p.add_argument("--no_gt_aug", action="store_true",
+                   help="disable GT-AUG paste sampling even when dbinfos "
+                        "exist (ref db_sampler, configs n3dtf:110-141)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic scenes instead of real data")
     p.add_argument("--epochs", type=int, default=None)
@@ -100,8 +106,24 @@ def main(argv=None):
             batches_from_dataset
         import jax as _jax
 
+        # GT-AUG paste sampler (ref Preprocess builds it whenever the config
+        # carries a db_sampler dict, preprocess.py:103-106; groups from
+        # cfg.data.sample_groups mirror configs n3dtf:110-123)
+        db_sampler = None
+        if not args.no_gt_aug:
+            from ..data.gt_database import build_db_sampler
+            db_sampler = build_db_sampler(cfg, args.info_path,
+                                          db_info_path=args.db_info_path,
+                                          seed=args.seed)
+            if db_sampler is not None:
+                logging.info("GT-AUG enabled (groups %s)",
+                             dict(cfg.data.sample_groups))
+            else:
+                logging.warning("GT-AUG disabled: no dbinfos next to %s",
+                                args.info_path)
+
         ds = NuScenesForecastDataset(cfg, args.info_path, train=True,
-                                     seed=args.seed)
+                                     seed=args.seed, db_sampler=db_sampler)
         # multi-host: each process reads its own dataset shard (replaces
         # the reference's DistributedGroupSampler, loader/sampler.py)
         batches = ({k: v for k, v in b.items() if k not in ("gt", "tokens")}

@@ -207,6 +207,13 @@ class DataConfig:
     class_names: Tuple[str, ...] = ("car",)
     root_path: str = ""
     sampler_type: str = "standard"
+    # GT-AUG paste sampling (ref configs db_sampler, n3dtf:110-141): counts
+    # per `{trajectory}_{class}` (trajectory sampler) or `{class}` (standard)
+    # group. Consumed by data.gt_database.DataBaseSampler; built by the train
+    # CLI whenever a dbinfos pkl sits next to --info_path.
+    sample_groups: Tuple[Tuple[str, int], ...] = ()
+    # ref db_prep_steps filter_by_min_num_points (n3dtf:132-136)
+    gt_aug_min_points: int = 5
     global_rot_noise: Tuple[float, float] = (-0.78539816, 0.78539816)
     global_scale_noise: Tuple[float, float] = (0.9, 1.1)
     global_translate_std: float = 0.5
@@ -263,17 +270,30 @@ def _base(classname: str, timesteps: int, dense: bool, forecast_feats: bool,
         reader = "mean_vfe"
         pillar_filters = (64,)
 
+    # vel weight 0.2 for the n0/n3 (non-dense) families (ref configs
+    # nusc_centerpoint_forecast_n0_detection.py:59 vs n3dtf:59)
+    code_weights = ((1.0,) * 6 + (0.2, 0.2) + (1.0,) * 2) if not dense \
+        else (1.0,) * 10
     head = HeadConfig(
         tasks=tasks, in_channels=head_in, timesteps=timesteps,
         dense=dense, forecast_feature=forecast_feats, bev_map=bev_map,
+        code_weights=code_weights,
     )
+    # GT-AUG groups (ref configs n3dtf:110-123 / pedestrian_n3dtf:110-123)
+    if sampler_type == "standard":
+        groups = ((classname, 2),)
+    else:
+        groups = ((f"static_{classname}", 2),
+                  (f"linear_{classname}", 4 if classname == "car" else 2),
+                  (f"nonlinear_{classname}", 6 if classname == "car" else 4))
     return ExperimentConfig(
         model=ModelConfig(detector=detector, reader=reader, rpn=rpn, head=head,
                           pillar_filters=pillar_filters),
         voxel=voxel,
         assigner=AssignerConfig(out_size_factor=out_size_factor,
                                 sampler_type=sampler_type),
-        data=DataConfig(class_names=(classname,), sampler_type=sampler_type),
+        data=DataConfig(class_names=(classname,), sampler_type=sampler_type,
+                        sample_groups=groups),
         timesteps=timesteps,
     )
 
@@ -314,7 +334,9 @@ def get_config(name: str) -> ExperimentConfig:
             model=dataclasses.replace(
                 cfg.model,
                 head=dataclasses.replace(cfg.model.head, tasks=tasks)),
-            data=dataclasses.replace(cfg.data, class_names=names))
+            data=dataclasses.replace(
+                cfg.data, class_names=names,
+                sample_groups=tuple((n, 2) for n in names)))
     else:
         raise KeyError(f"unknown config name: {name}")
     return cfg.replace(name=name)

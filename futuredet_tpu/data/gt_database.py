@@ -84,6 +84,28 @@ def create_groundtruth_database(cfg: ExperimentConfig, dataset, out_dir: str,
     return str(dbinfo_path)
 
 
+def build_db_sampler(cfg: ExperimentConfig, info_path: str,
+                     db_info_path: str = None, seed: int = 0):
+    """Default GT-AUG construction for the train CLI (ref build_dbsampler,
+    `det3d/builder.py:204-222` — built whenever the config carries a
+    db_sampler dict; the dict's `enable` key is ignored there).
+
+    Looks for `dbinfos_train_{nsweeps}sweeps_withvelo.pkl` next to the infos
+    pkl (the reference's data_root naming, configs n3dtf:128). Returns None
+    when the config has no sample groups or no dbinfos file exists."""
+    if not cfg.data.sample_groups:
+        return None
+    root = os.path.dirname(os.path.abspath(info_path))
+    db_info_path = db_info_path or os.path.join(
+        root, f"dbinfos_train_{cfg.data.nsweeps}sweeps_withvelo.pkl")
+    if not os.path.exists(db_info_path):
+        return None
+    return DataBaseSampler(db_info_path, root,
+                           sample_groups=dict(cfg.data.sample_groups),
+                           min_points=cfg.data.gt_aug_min_points,
+                           sampler_type=cfg.data.sampler_type, seed=seed)
+
+
 class _Pool:
     """Epoch-shuffled sampling pool (ref BatchSampler, preprocess.py:19-55)."""
 

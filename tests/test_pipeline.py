@@ -102,3 +102,133 @@ def test_painted_points_reader(tmp_path):
     # ring index (col 4) dropped
     np.testing.assert_allclose(out[:, 3], painted[:, 3])
     np.testing.assert_allclose(out[:, 4], painted[:, 5])
+
+
+# ---------------------------------------------------------------------------
+# GT-AUG end-to-end: db creation -> build_db_sampler (the CLI path) ->
+# train sample contains pasted objects with per-timestep velocity columns
+# (ref Preprocess :147-182 + sample_ops.py:101-253)
+# ---------------------------------------------------------------------------
+
+def _mk_infos_gtaug(tmp_path, n_samples=3, timesteps=7):
+    """3 objects/sample on a 9-spot grid (no cross-sample collisions), 50
+    in-box points each, distinct per-timestep velocity columns."""
+    grid = [(-5.0, -5.0), (-5.0, 0.0), (-5.0, 5.0), (0.0, -5.0), (0.0, 5.0),
+            (5.0, -5.0), (5.0, 0.0), (5.0, 5.0), (2.5, 2.5)]
+    rng = np.random.default_rng(1)
+    infos = []
+    for i in range(n_samples):
+        boxes = np.zeros((3, timesteps, 12), np.float32)
+        centers = np.array([grid[i * 3 + j] for j in range(3)], np.float32)
+        boxes[:, :, :2] = centers[:, None]
+        boxes[:, :, 3:6] = [2.0, 4.5, 1.6]
+        for t in range(timesteps):
+            boxes[:, t, 6] = 1.0 + 0.5 * t      # vx, distinct per timestep
+            boxes[:, t, 8] = 2.0 + 0.25 * t     # reverse vx
+        pts = []
+        for c in centers:
+            p = np.zeros((50, 5), np.float32)
+            p[:, :2] = c + rng.uniform(-0.5, 0.5, (50, 2))
+            p[:, 2] = rng.uniform(-0.5, 0.5, 50)
+            pts.append(p)
+        clutter = np.zeros((200, 5), np.float32)
+        clutter[:, :3] = rng.uniform(-7, 7, (200, 3))
+        pts.append(clutter)
+        key = tmp_path / f"gtaug_key{i}.bin"
+        np.concatenate(pts).astype(np.float32).tofile(key)
+        infos.append({
+            "lidar_path": str(key), "token": f"gtaug{i}", "sweeps": [],
+            "gt_boxes": boxes, "gt_names": np.full((3, timesteps), "car"),
+            "gt_trajectory": np.full((3, timesteps), "linear"),
+        })
+    p = tmp_path / "infos_gtaug.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(infos, f)
+    return str(p)
+
+
+def test_gt_aug_pastes_objects_with_timestep_velocities(tmp_path):
+    from futuredet_tpu.data.gt_database import (build_db_sampler,
+                                                create_groundtruth_database)
+
+    cfg = tiny_cfg(7, True, True)
+    # neutralize rotation/scale/translate so pasted velocity columns survive
+    # exactly (random flips only change signs)
+    cfg = cfg.replace(data=cfg.data.__class__(
+        nsweeps=2, class_names=("car",), sampler_type="trajectory",
+        sample_groups=(("static_car", 2), ("linear_car", 4),
+                       ("nonlinear_car", 6)),
+        global_rot_noise=(0.0, 0.0), global_scale_noise=(1.0, 1.0),
+        global_translate_std=0.0))
+    info_path = _mk_infos_gtaug(tmp_path)
+
+    raw = PL.NuScenesForecastDataset(cfg, info_path, train=False,
+                                     class_balanced=False)
+    create_groundtruth_database(cfg, raw, str(tmp_path))
+
+    sampler = build_db_sampler(cfg, info_path)     # the train-CLI default
+    assert sampler is not None
+    assert set(sampler.pools) == {"linear_car"}    # only linear objects exist
+
+    ds = PL.NuScenesForecastDataset(cfg, info_path, train=True,
+                                    class_balanced=False, db_sampler=sampler,
+                                    seed=3)
+    pasted_seen = 0
+    for idx in range(len(ds)):
+        s = ds.sample(idx)
+        n = int(s["gt_valid"][0].sum())
+        for j in range(3, n):                      # pasted objects
+            pasted_seen += 1
+            b = s["gt_boxes"][:, j]                # (T, 12)
+            # per-timestep velocity columns preserved (|.|: random flips)
+            np.testing.assert_allclose(
+                np.abs(b[:, 6]), 1.0 + 0.5 * np.arange(7), atol=1e-5)
+            np.testing.assert_allclose(
+                np.abs(b[:, 8]), 2.0 + 0.25 * np.arange(7), atol=1e-5)
+            # position frozen at t0 across timesteps (ref quirk,
+            # preprocess.py:169-174)
+            np.testing.assert_allclose(
+                b[:, :6], np.broadcast_to(b[0, :6], (7, 6)), atol=1e-5)
+            assert s["traj_classes"][j] == 2       # linear
+            # pasted points landed near the pasted box center
+            pv = s["points"][s["points_valid"]]
+            d = np.linalg.norm(pv[:, :2] - b[0, :2], axis=1)
+            assert (d < 3.0).sum() >= 30
+    assert pasted_seen >= 3
+
+
+def test_train_cli_enables_gt_aug_by_default(tmp_path, monkeypatch):
+    """`train --info_path` with dbinfos alongside builds the sampler with
+    the config's reference groups (VERDICT round-1 item #1)."""
+    from futuredet_tpu.cli.train import main as train_main
+    from futuredet_tpu.data import pipeline as pl_mod
+    from futuredet_tpu.data.gt_database import create_groundtruth_database
+
+    monkeypatch.chdir(tmp_path)
+    cfg = tiny_cfg(7, True, True)
+    cfg = cfg.replace(data=cfg.data.__class__(nsweeps=2, class_names=("car",),
+                                              sampler_type="trajectory"))
+    info_path = _mk_infos_gtaug(tmp_path)
+    raw = pl_mod.NuScenesForecastDataset(cfg, info_path, train=False,
+                                         class_balanced=False)
+    create_groundtruth_database(cfg, raw, str(tmp_path))
+    # rename to the 20-sweep default the forecast_n3dtf config looks for
+    import os
+    os.rename(tmp_path / "dbinfos_train_2sweeps_withvelo.pkl",
+              tmp_path / "dbinfos_train_20sweeps_withvelo.pkl")
+
+    captured = {}
+    orig = pl_mod.NuScenesForecastDataset
+
+    class Spy(orig):
+        def __init__(self, *a, **kw):
+            captured["db_sampler"] = kw.get("db_sampler")
+            super().__init__(*a, **kw)
+
+    monkeypatch.setattr(pl_mod, "NuScenesForecastDataset", Spy)
+    train_main(["--model", "forecast_n3dtf", "--tiny",
+                "--info_path", info_path, "--batch_size", "1",
+                "--epochs", "1"])
+    assert captured["db_sampler"] is not None
+    assert captured["db_sampler"].sample_groups == {
+        "static_car": 2, "linear_car": 4, "nonlinear_car": 6}
