@@ -165,7 +165,12 @@ def fill_infos(nusc: NuScenesTables, nsweeps: int = 20, timesteps: int = 7,
         info["gt_boxes_velocity"] = gt_vel[sel]
         info["gt_boxes_rvelocity"] = gt_vel[sel]
         info["gt_trajectory"] = gt_traj[sel]
-        info["bev"] = np.zeros((180, 180, 3), np.uint8)  # ego map: needs map
+        # ego-centric BEV map, 80 m crop resized to 180x180 (ref
+        # nusc_common.py:508-509); zeros when the dataset ships no map table
+        ego_map = nusc.get_ego_centric_map(sweeps[0]["sample_data_token"])
+        import cv2
+        info["bev"] = cv2.resize(ego_map, dsize=(180, 180),
+                                 interpolation=cv2.INTER_CUBIC)
         infos.append(info)
     return infos
 
@@ -178,16 +183,16 @@ def create_nuscenes_infos(root_path: str, version: str = "v1.0-trainval",
     nusc = NuScenesTables(root_path, version)
     infos = fill_infos(nusc, nsweeps, timesteps, filter_zero)
 
-    # split by official scene lists when available; else single train file
-    try:
-        from .splits import train_scenes, val_scenes  # optional
-        scene_names = {s["token"]: s["name"] for s in nusc.table("scene")}
-        tr, va = [], []
-        for info in infos:
-            scene_tok = nusc.get("sample", info["token"])["scene_token"]
-            (tr if scene_names[scene_tok] in train_scenes else va).append(info)
-    except ImportError:
-        tr, va = infos, []
+    # official scene splits (ref nusc_common.py:605-625 via the devkit's
+    # splits module; vendored in data.splits)
+    from .splits import split_scenes
+    scene_names = {s["token"]: s["name"] for s in nusc.table("scene")}
+    _, val_names = split_scenes(scene_names.values(), version)
+    val_set = set(val_names)
+    tr, va = [], []
+    for info in infos:
+        scene_tok = nusc.get("sample", info["token"])["scene_token"]
+        (va if scene_names[scene_tok] in val_set else tr).append(info)
 
     suffix = f"{nsweeps}sweeps_withvelo_filter_{filter_zero}"
     out = []

@@ -18,7 +18,8 @@ from typing import Dict, List
 import numpy as np
 
 TABLES = ("scene", "sample", "sample_data", "sample_annotation",
-          "calibrated_sensor", "ego_pose", "category", "instance")
+          "calibrated_sensor", "ego_pose", "category", "instance",
+          "log", "map")
 
 
 def quat_to_rot(q) -> np.ndarray:
@@ -111,6 +112,72 @@ class NuScenesTables:
         if dt > max_time_diff or dt <= 0:
             return np.array([np.nan, np.nan, np.nan])
         return (pos_last - pos_first) / dt
+
+    @cached_property
+    def _map_by_log(self) -> Dict[str, dict]:
+        """log token -> map record (the devkit builds log['map_token'] by
+        reverse-indexing map.log_tokens at load time)."""
+        out = {}
+        for m in self._t["map"]:
+            for lt in m.get("log_tokens", []):
+                out[lt] = m
+        return out
+
+    def _map_mask(self, filename: str):
+        """Binarized uint8 {0,255} semantic map raster (devkit MapMask.mask;
+        v1.0 map PNGs are binary drivable-area masks at 0.1 m/px)."""
+        if not hasattr(self, "_mask_cache"):
+            self._mask_cache = {}
+        if filename not in self._mask_cache:
+            from PIL import Image
+            path = os.path.join(self.dataroot, filename)
+            img = np.asarray(Image.open(path).convert("L"))
+            self._mask_cache[filename] = \
+                np.where(img > 0, 255, 0).astype(np.uint8)
+        return self._mask_cache[filename]
+
+    def get_ego_centric_map(self, sample_data_token: str,
+                            axes_limit: float = 40.0) -> np.ndarray:
+        """Ego-centred, ego-yaw-aligned crop of the map mask (devkit
+        `NuScenes.get_ego_centric_map`; consumed at ref
+        `nusc_common.py:508-509`). Returns (2L, 2L) uint8 with
+        L = axes_limit / 0.1 px; zeros when the dataset ships no map.
+
+        Pixel mapping follows devkit MapMask.transform_matrix:
+        px = x / res, py = H - y / res (map image rows run top-down).
+        Out-of-raster regions are zero-padded (the devkit would crop short;
+        real nuScenes maps are large enough that ego never reaches the edge).
+        """
+        import math
+
+        res = 0.1
+        limit_px = int(axes_limit / res)
+        sd = self.get("sample_data", sample_data_token)
+        sample = self.get("sample", sd["sample_token"])
+        scene = self.get("scene", sample["scene_token"])
+        map_rec = self._map_by_log.get(scene.get("log_token", ""))
+        if map_rec is None or not map_rec.get("filename"):
+            return np.zeros((2 * limit_px, 2 * limit_px), np.uint8)
+        mask = self._map_mask(map_rec["filename"])
+        pose = self.get("ego_pose", sd["ego_pose_token"])
+        px = int(round(pose["translation"][0] / res))
+        py = int(round(mask.shape[0] - pose["translation"][1] / res))
+
+        # crop with sqrt(2) margin so the subsequent rotation never exposes
+        # missing corners
+        pad = int(limit_px * math.sqrt(2))
+        out = np.zeros((2 * pad, 2 * pad), np.uint8)
+        y0, y1 = max(py - pad, 0), min(py + pad, mask.shape[0])
+        x0, x1 = max(px - pad, 0), min(px + pad, mask.shape[1])
+        if y1 > y0 and x1 > x0:
+            out[y0 - (py - pad):y1 - (py - pad),
+                x0 - (px - pad):x1 - (px - pad)] = mask[y0:y1, x0:x1]
+
+        from PIL import Image
+        yaw_deg = -math.degrees(quat_yaw(pose["rotation"]))
+        rotated = np.asarray(Image.fromarray(out).rotate(yaw_deg))
+        c = rotated.shape[0] // 2
+        return rotated[c - limit_px:c + limit_px, c - limit_px:c + limit_px]
 
     def lidar_path(self, sample_data_token: str) -> str:
         sd = self.get("sample_data", sample_data_token)

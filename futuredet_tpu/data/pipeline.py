@@ -252,7 +252,7 @@ class NuScenesForecastDataset:
                "gt_valid": gt_valid, "traj_classes": gt_traj,
                "token": info.get("token", str(idx))}
         if cfg.model.head.bev_map:
-            bev = np.asarray(info.get("bev", np.zeros((180, 180, 3))),
+            bev = np.asarray(info.get("bev", np.zeros((180, 180))),
                              np.float32)
             if bev.ndim == 2:
                 bev = bev[..., None]

@@ -15,72 +15,86 @@ N_SAMPLES = 8
 DT_US = 500000
 
 
-def _mk_mini_nusc(root, n_samples=N_SAMPLES):
-    version = "v1.0-mini"
+def _mk_mini_nusc(root, n_samples=N_SAMPLES, scene_names=("scene-0001",),
+                  with_map=False, version="v1.0-mini"):
     os.makedirs(root / version, exist_ok=True)
     os.makedirs(root / "sweeps" / "LIDAR_TOP", exist_ok=True)
     rng = np.random.default_rng(0)
 
-    scene = [{"token": "scene0", "first_sample_token": "s0",
-              "name": "scene-0001"}]
-    samples, sample_datas, poses, anns = [], [], [], []
+    scene, samples, sample_datas, poses, anns = [], [], [], [], []
+    instance = []
     cs = [{"token": "cs0", "translation": [0.0, 0.0, 1.8],
            "rotation": [1.0, 0.0, 0.0, 0.0], "sensor_token": "lidar"}]
     category = [{"token": "cat_car", "name": "vehicle.car"}]
-    instance = [
-        {"token": "inst0", "category_token": "cat_car"},
-        {"token": "inst1", "category_token": "cat_car"},
-    ]
     # object 0: static at (5, 3); object 1: moving +x at 4 m/s from (-5, -2)
     obj_pos = lambda k, i: ([5.0, 3.0, 0.5] if k == 0
                             else [-5.0 + 4.0 * 0.5 * i, -2.0, 0.5])
-    for i in range(n_samples):
-        stok, sdtok, ptok = f"s{i}", f"sd{i}", f"pose{i}"
-        samples.append({
-            "token": stok, "scene_token": "scene0",
-            "timestamp": 1000000 + i * DT_US,
-            "prev": f"s{i-1}" if i > 0 else "",
-            "next": f"s{i+1}" if i < n_samples - 1 else "",
-            "data": {"LIDAR_TOP": sdtok},
-            "anns": [f"a{i}_0", f"a{i}_1"],
-        })
-        fname = f"sweeps/LIDAR_TOP/pc{i}.bin"
-        pts = np.concatenate([rng.uniform(-20, 20, (1000, 3)),
-                              rng.uniform(0, 1, (1000, 2))], -1)
-        # add points on both objects (in lidar frame approx == global here
-        # minus ego translation)
+    for si, sname in enumerate(scene_names):
+        pre = f"sc{si}_"
+        scene.append({"token": f"{pre}scene", "first_sample_token": f"{pre}s0",
+                      "name": sname, "log_token": "log0"})
         for k in range(2):
-            c = np.asarray(obj_pos(k, i))
-            obj_pts = c + rng.uniform(-1, 1, (200, 3)) * [1.0, 2.0, 0.7]
-            obj_pts[:, 2] -= 1.8  # bins are in the lidar frame (sensor @ 1.8)
-            pts = np.concatenate(
-                [pts, np.hstack([obj_pts, rng.uniform(0, 1, (200, 2))])], 0)
-        pts.astype(np.float32).tofile(root / fname)
-        sample_datas.append({
-            "token": sdtok, "sample_token": stok, "ego_pose_token": ptok,
-            "calibrated_sensor_token": "cs0",
-            "timestamp": 1000000 + i * DT_US,
-            "prev": f"sd{i-1}" if i > 0 else "",
-            "next": f"sd{i+1}" if i < n_samples - 1 else "",
-            "filename": fname, "is_key_frame": True,
-        })
-        poses.append({"token": ptok, "translation": [0.0, 0.0, 0.0],
-                      "rotation": [1.0, 0.0, 0.0, 0.0],
-                      "timestamp": 1000000 + i * DT_US})
-        for k in range(2):
-            anns.append({
-                "token": f"a{i}_{k}", "sample_token": stok,
-                "instance_token": f"inst{k}",
-                "translation": obj_pos(k, i), "size": [2.0, 4.5, 1.6],
-                "rotation": [1.0, 0.0, 0.0, 0.0],
-                "prev": f"a{i-1}_{k}" if i > 0 else "",
-                "next": f"a{i+1}_{k}" if i < n_samples - 1 else "",
-                "num_lidar_pts": 50, "num_radar_pts": 0,
+            instance.append({"token": f"{pre}inst{k}",
+                             "category_token": "cat_car"})
+        for i in range(n_samples):
+            stok, sdtok, ptok = f"{pre}s{i}", f"{pre}sd{i}", f"{pre}pose{i}"
+            samples.append({
+                "token": stok, "scene_token": f"{pre}scene",
+                "timestamp": 1000000 + i * DT_US,
+                "prev": f"{pre}s{i-1}" if i > 0 else "",
+                "next": f"{pre}s{i+1}" if i < n_samples - 1 else "",
+                "data": {"LIDAR_TOP": sdtok},
+                "anns": [f"{pre}a{i}_0", f"{pre}a{i}_1"],
             })
+            fname = f"sweeps/LIDAR_TOP/{pre}pc{i}.bin"
+            pts = np.concatenate([rng.uniform(-20, 20, (1000, 3)),
+                                  rng.uniform(0, 1, (1000, 2))], -1)
+            # add points on both objects (in lidar frame approx == global
+            # here minus ego translation)
+            for k in range(2):
+                c = np.asarray(obj_pos(k, i))
+                obj_pts = c + rng.uniform(-1, 1, (200, 3)) * [1.0, 2.0, 0.7]
+                obj_pts[:, 2] -= 1.8  # bins in lidar frame (sensor @ 1.8)
+                pts = np.concatenate(
+                    [pts, np.hstack([obj_pts, rng.uniform(0, 1, (200, 2))])],
+                    0)
+            pts.astype(np.float32).tofile(root / fname)
+            sample_datas.append({
+                "token": sdtok, "sample_token": stok, "ego_pose_token": ptok,
+                "calibrated_sensor_token": "cs0",
+                "timestamp": 1000000 + i * DT_US,
+                "prev": f"{pre}sd{i-1}" if i > 0 else "",
+                "next": f"{pre}sd{i+1}" if i < n_samples - 1 else "",
+                "filename": fname, "is_key_frame": True,
+            })
+            poses.append({"token": ptok, "translation": [0.0, 0.0, 0.0],
+                          "rotation": [1.0, 0.0, 0.0, 0.0],
+                          "timestamp": 1000000 + i * DT_US})
+            for k in range(2):
+                anns.append({
+                    "token": f"{pre}a{i}_{k}", "sample_token": stok,
+                    "instance_token": f"{pre}inst{k}",
+                    "translation": obj_pos(k, i), "size": [2.0, 4.5, 1.6],
+                    "rotation": [1.0, 0.0, 0.0, 0.0],
+                    "prev": f"{pre}a{i-1}_{k}" if i > 0 else "",
+                    "next": f"{pre}a{i+1}_{k}" if i < n_samples - 1 else "",
+                    "num_lidar_pts": 50, "num_radar_pts": 0,
+                })
     tables = {"scene": scene, "sample": samples, "sample_data": sample_datas,
               "ego_pose": poses, "calibrated_sensor": cs,
               "sample_annotation": anns, "category": category,
               "instance": instance}
+    if with_map:
+        # a 40x40 m all-drivable raster occupying global x,y in [0, 40):
+        # ego sits at its bottom-left corner, so the ego-centric crop is
+        # drivable exactly in the x>0, y>0 quadrant
+        from PIL import Image
+        os.makedirs(root / "maps", exist_ok=True)
+        mask = np.full((400, 400), 255, np.uint8)
+        Image.fromarray(mask).save(root / "maps" / "map0.png")
+        tables["log"] = [{"token": "log0"}]
+        tables["map"] = [{"token": "map0", "filename": "maps/map0.png",
+                          "log_tokens": ["log0"]}]
     for name, t in tables.items():
         with open(root / version / f"{name}.json", "w") as f:
             json.dump(t, f)
@@ -197,3 +211,58 @@ def test_points_in_box_crop_geometry():
     ], np.float32)
     got = _points_in_box_np(pts, box)
     assert got.tolist() == [True, False, True, False]
+
+
+def test_official_splits_partition_train_val(tmp_path):
+    """create_data on a mini-style fixture writes non-empty train AND val
+    infos (VERDICT round-1 item #2; ref nusc_common.py:605-625)."""
+    version = _mk_mini_nusc(tmp_path, n_samples=3,
+                            scene_names=("scene-0061", "scene-0103"),
+                            with_map=True)
+    tr_path, va_path = create_nuscenes_infos(str(tmp_path), version,
+                                             nsweeps=2, timesteps=7)
+    with open(tr_path, "rb") as f:
+        tr = pickle.load(f)
+    with open(va_path, "rb") as f:
+        va = pickle.load(f)
+    # scene-0061 is mini_train, scene-0103 is mini_val
+    assert len(tr) == 3 and len(va) == 3
+    assert all(i["token"].startswith("sc0_") for i in tr)
+    assert all(i["token"].startswith("sc1_") for i in va)
+    # the ego map rasterized into each info, non-zero (drivable x>0, y>0)
+    bev = tr[0]["bev"]
+    assert bev.shape == (180, 180)
+    assert bev[10:80, 100:170].mean() > 200      # top-right quadrant on-map
+    assert bev[100:170, 10:80].max() == 0        # bottom-left off-map
+
+
+def test_split_scenes_module():
+    from futuredet_tpu.data.splits import (MINI_TRAIN, MINI_VAL, VAL_SCENES,
+                                           split_scenes)
+    assert len(VAL_SCENES) == 150
+    assert len(MINI_TRAIN) == 8 and len(MINI_VAL) == 2
+    assert set(MINI_VAL) < VAL_SCENES            # mini_val is a val subset
+    # trainval: derive train as complement
+    names = ["scene-0001", "scene-0003", "scene-0916"]
+    tr, va = split_scenes(names, "v1.0-trainval")
+    assert tr == ["scene-0001"] and va == ["scene-0003", "scene-0916"]
+    # test version: everything train-side (ref :615)
+    tr, va = split_scenes(names, "v1.0-test")
+    assert tr == sorted(names) and va == []
+    # mini
+    tr, va = split_scenes(["scene-0061", "scene-0103", "scene-0999"],
+                          "v1.0-mini")
+    assert tr == ["scene-0061"] and va == ["scene-0103"]
+
+
+def test_ego_centric_map_geometry(tmp_path):
+    """Devkit get_ego_centric_map semantics: 800x800 px (80 m) ego crop,
+    yaw-aligned, px = x/res, py = H - y/res."""
+    version = _mk_mini_nusc(tmp_path, n_samples=2, with_map=True)
+    nusc = NuScenesTables(str(tmp_path), version)
+    sd_tok = nusc.table("sample")[0]["data"]["LIDAR_TOP"]
+    ego = nusc.get_ego_centric_map(sd_tok)
+    assert ego.shape == (800, 800) and ego.dtype == np.uint8
+    # drivable quadrant: global x in [0,40), y in [0,40) -> image right-top
+    assert ego[100:350, 450:700].min() == 255
+    assert ego[450:700, 100:350].max() == 0
