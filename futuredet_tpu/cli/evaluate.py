@@ -232,16 +232,23 @@ def main(argv=None):
                 while inflight:
                     consume(inflight.popleft())
             batch = dev_q.popleft()
-            if bi + 1 < n_b:
+            if not probe and bi + 1 < n_b:
                 dev_q.append(dev_slice(eval_batches[bi + 1]))
             t0 = _time.perf_counter()
             det_dev = infer(state.params, state.batch_stats, batch)
             if probe:
                 # synchronous latency probe over the middle third
-                # (ref dist_test.py:204-240); device_get forces completion
+                # (ref dist_test.py:204-240); device_get forces completion.
+                # The probed batch's own H2D transfer was prefetched on the
+                # previous iteration, so this measures DEVICE latency
+                # (compute + decode + D2H) — and the next batch's prefetch
+                # is deferred until after the probe so nothing contends
+                # with it over the tunnel.
                 det_dev = jax.device_get(det_dev)
                 lat.append((_time.perf_counter() - t0)
                            / batch["points"].shape[0])
+                if bi + 1 < n_b:
+                    dev_q.append(dev_slice(eval_batches[bi + 1]))
             inflight.append((det_dev, b["gt"], b["tokens"]))
             while len(inflight) >= 2:
                 consume(inflight.popleft())

@@ -184,7 +184,11 @@ def _subm_conv_sym_vjp(features, table, weights, bias, compute_dtype, algo):
         padded = jnp.concatenate(
             [x, jnp.zeros((1, Cin), x.dtype)], 0)
         g = padded[tab]                                  # (K, V, Cin)
-        dw = jnp.einsum("kvc,vo->kco", g, gy,
+        # keep the weight-grad contraction in the same precision regime as
+        # the forward (_gather_conv casts to compute_dtype when set)
+        gc = g.astype(compute_dtype) if compute_dtype is not None else g
+        gyc = gy.astype(compute_dtype) if compute_dtype is not None else gy
+        dw = jnp.einsum("kvc,vo->kco", gc, gyc,
                         preferred_element_type=jnp.float32)
         db = jnp.sum(gy, 0) if has_bias else jnp.zeros((0,), gy.dtype)
         return (dx.astype(x.dtype), np.zeros(tab.shape, jax.dtypes.float0),
@@ -244,7 +248,10 @@ def _strided_conv_vjp(features, table, inv_table, weights, bias,
                           compute_dtype, algo)
         padded = jnp.concatenate([x, jnp.zeros((1, Cin), x.dtype)], 0)
         g = padded[tab]                                  # (K, N, Cin)
-        dw = jnp.einsum("kvc,vo->kco", g, gy,
+        # match the forward's compute_dtype regime (see _subm_conv_sym_vjp)
+        gc = g.astype(compute_dtype) if compute_dtype is not None else g
+        gyc = gy.astype(compute_dtype) if compute_dtype is not None else gy
+        dw = jnp.einsum("kvc,vo->kco", gc, gyc,
                         preferred_element_type=jnp.float32)
         db = jnp.sum(gy, 0) if has_bias else jnp.zeros((0,), gy.dtype)
         return (dx.astype(x.dtype), np.zeros(tab.shape, jax.dtypes.float0),

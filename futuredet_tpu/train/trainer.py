@@ -71,14 +71,21 @@ class TensorBoardHook(Hook):
             return
         self._buf.push({k: v for k, v in metrics.items()
                         if np.ndim(v) == 0})
+        self._last_step = step
         if (step + 1) % self.interval == 0:
             for k, v in self._buf.mean_and_clear().items():
                 self.writer.add_scalar(f"train/{k}", v, step + 1)
 
     def after_train(self, state):
-        if self.writer is not None:
-            self.writer.flush()
-            self.writer.close()
+        if self.writer is None:
+            return
+        # drain the partial window past the last interval boundary so short
+        # runs / the final steps are not silently dropped
+        for k, v in self._buf.mean_and_clear().items():
+            self.writer.add_scalar(f"train/{k}",
+                                   v, getattr(self, "_last_step", 0) + 1)
+        self.writer.flush()
+        self.writer.close()
 
 
 class MetricBuffer:
