@@ -29,6 +29,41 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self.mgr.latest_step()
 
+    def all_steps(self):
+        return sorted(self.mgr.all_steps())
+
+    def resolve(self, spec: str = "latest") -> Optional[int]:
+        """Map a reference-style checkpoint spec to a step index.
+
+        Ref `evaluate.py:92,149` selects `--modelCheckPoint latest|epoch_N`;
+        here 'latest' -> newest step, 'epoch_N' -> the step whose saved
+        metadata records epoch N, and a bare integer selects that step
+        directly. Raises FileNotFoundError when the spec matches nothing.
+        """
+        if spec in (None, "latest"):
+            return self.mgr.latest_step()
+        if spec.startswith("epoch_"):
+            want = int(spec[len("epoch_"):])
+            for step in self.all_steps():
+                meta = self.metadata(step)
+                if meta and meta.get("epoch") == want:
+                    return step
+            raise FileNotFoundError(
+                f"no checkpoint for {spec} (have steps {self.all_steps()})")
+        step = int(spec)
+        if step not in self.mgr.all_steps():
+            raise FileNotFoundError(
+                f"no checkpoint step {step} (have {self.all_steps()})")
+        return step
+
+    def metadata(self, step: int) -> Optional[dict]:
+        try:
+            restored = self.mgr.restore(
+                step, args=ocp.args.Composite(meta=ocp.args.JsonRestore()))
+            return restored.get("meta")
+        except Exception:
+            return None
+
     def restore(self, state_like: TrainState, step: Optional[int] = None
                 ) -> TrainState:
         step = step if step is not None else self.mgr.latest_step()

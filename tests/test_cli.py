@@ -46,6 +46,48 @@ def test_evaluate_writes_reference_csv(tmp_path, monkeypatch):
     assert df["CLASS"].tolist() == ["car"]
 
 
+def test_evaluate_model_checkpoint_selects_non_latest(tmp_path, monkeypatch):
+    """--modelCheckPoint epoch_N / step restores that checkpoint, not latest
+    (ref evaluate.py:92,149)."""
+    monkeypatch.chdir(tmp_path)
+    from futuredet_tpu.cli.train import main as train_main
+    from futuredet_tpu.cli.evaluate import main as eval_main
+    from futuredet_tpu.train.checkpoints import CheckpointManager
+
+    train_main(["--model", "forecast_n0", "--tiny", "--synthetic", "4",
+                "--batch_size", "2", "--epochs", "2"])
+    ckpt_dir = str(tmp_path / "models" / "FutureDetection"
+                   / "nusc_centerpoint_forecast_n0_detection")
+    mgr = CheckpointManager(ckpt_dir)
+    assert mgr.all_steps() == [2, 4]
+    assert mgr.resolve("latest") == 4
+    assert mgr.resolve("epoch_1") == 2
+    assert mgr.resolve("2") == 2
+
+    restored_steps = []
+    orig_restore = CheckpointManager.restore
+
+    def spy(self, state_like, step=None):
+        out = orig_restore(self, state_like, step=step)
+        restored_steps.append(int(out.step))
+        return out
+
+    monkeypatch.setattr(CheckpointManager, "restore", spy)
+    eval_main(["--model", "forecast_n0", "--tiny", "--synthetic", "2",
+               "--batch_size", "2", "--modelCheckPoint", "epoch_1",
+               "--forecast_mode", "velocity_constant",
+               "--out", str(tmp_path / "m1.json")])
+    assert restored_steps == [2]
+
+    # unknown spec is a hard error, unlike the soft 'latest' fallback
+    import pytest
+    with pytest.raises(SystemExit):
+        eval_main(["--model", "forecast_n0", "--tiny", "--synthetic", "2",
+                   "--batch_size", "2", "--modelCheckPoint", "epoch_9",
+                   "--forecast_mode", "velocity_constant",
+                   "--out", str(tmp_path / "m9.json")])
+
+
 def test_cli_roundtrip_from_info_pkl(tmp_path, monkeypatch):
     """Real-data entry path: train --info_path on a fabricated infos pkl
     (sweep bins + forecast GT, no nuScenes archive needed) -> checkpoint ->
