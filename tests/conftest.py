@@ -25,3 +25,26 @@ assert jax.device_count() == 8
 # executables around interpret-mode Pallas calls segfaulted the suite.
 # TPU runs (bench.py) keep their own cache; CPU recompiles are cheap
 # enough at test sizes.
+
+import pytest  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Test tiers. The `slow` marker tags compile-heavy integration tests (full
+# model jit / train loops / CLI roundtrips); everything else is the fast
+# oracle tier (~2 min cold). Usage:
+#   pytest -m "not slow" -q    # fast tier
+#   pytest -q                  # everything (~25 min cold on 8-dev CPU)
+# Whole modules that only contain integration tests are listed here; mixed
+# modules mark individual tests with @pytest.mark.slow.
+# ---------------------------------------------------------------------------
+SLOW_MODULES = {
+    "test_cli", "test_trainer", "test_train_step", "test_spatial_sharding",
+    "test_e2e_eval", "test_multitask", "test_models", "test_longtail",
+    "test_tools", "test_pallas_gather", "test_dense_middle",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

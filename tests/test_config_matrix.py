@@ -11,6 +11,7 @@ from futuredet_tpu.eval.decode import decode_and_nms
 from futuredet_tpu.models.detector import build_detector
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", CONFIG_NAMES)
 def test_config_forward_decode(name):
     cfg = tiny_variant(get_config(name))

@@ -1,6 +1,7 @@
 """Target assignment vs the exact AssignLabel loop oracle + end-to-end train
 smoke on synthetic scenes (loss decreases, detections localize objects)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -43,6 +44,7 @@ def test_trajectory_and_forecast_families():
         assert hmf[0, :, :, t].max() > 0.99
 
 
+@pytest.mark.slow
 def test_synthetic_train_decreases_loss_and_localizes():
     from futuredet_tpu.eval.decode import decode_and_nms
     from futuredet_tpu.parallel.mesh import make_mesh
