@@ -18,6 +18,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <limits>
 #include <cmath>
 #include <random>
 #include <thread>
@@ -166,7 +167,9 @@ int64_t fd_voxelize(const float* points, int64_t n_points, int n_feats,
 //
 // Outputs per unit: tp flag, and for TPs the 8 error terms
 // (trans, scale, orient, vel, attr, ade, fde, miss) in errs_out[u*8..].
-void fd_accumulate(
+// attr_err follows nuScenes attr_acc: NaN (host cummean skips it) when the
+// GT carries no attribute (id < 0), else exact-id mismatch.
+void fd_accumulate2(
     const int32_t* unit_offsets,  // (n_units+1,) into the member arrays
     int64_t n_units,
     const int32_t* mem_sample,    // (M,) sample id per member (-1 = no GTs)
@@ -174,9 +177,11 @@ void fd_accumulate(
     const float* mem_size,        // (M, 3) w,l,h
     const float* mem_yaw,         // (M,)
     const float* mem_vel,         // (M, 2)
+    const int32_t* mem_attr,      // (M,) attribute id (-1 = none)
     const int32_t* gt_offsets,    // (S+1,) GT rows grouped by sample id
     const float* gt_centers,      // (G, T, 2)
     const float* gt_size, const float* gt_yaw, const float* gt_vel,
+    const int32_t* gt_attr,       // (G,) attribute id (-1 = none)
     int T, float dist_th, float final_match_th, int match_timestep,
     uint8_t association_oracle, float mr_thresh,
     uint8_t* tp_out,              // (n_units,)
@@ -243,7 +248,9 @@ void fd_accumulate(
       e[1] = 1.f - inter / std::max(uni, 1e-9f);  // scale_err
       e[2] = dyaw;                             // orient_err
       e[3] = std::sqrt(dvx * dvx + dvy * dvy); // vel_err
-      e[4] = 0.f;                              // attr_err
+      e[4] = gt_attr[bj] < 0
+          ? std::numeric_limits<float>::quiet_NaN()
+          : (mem_attr[m] == gt_attr[bj] ? 0.f : 1.f);  // attr_err
       e[5] = ade;                              // avg_disp_err
       e[6] = dF;                               // final_disp_err
       e[7] = dF > mr_thresh ? 1.f : 0.f;       // miss

@@ -116,9 +116,15 @@ def main(argv=None):
         if os.path.isdir(ckpt_dir):
             try:
                 mgr = CheckpointManager(ckpt_dir)
-                state = mgr.restore(jax.device_get(state))
-                logging.info("restored checkpoint step %d", int(state.step))
-            except FileNotFoundError:
+                # ref evaluate.py:92,149: --modelCheckPoint latest|epoch_N
+                # (here also a bare step index)
+                step = mgr.resolve(args.modelCheckPoint)
+                state = mgr.restore(jax.device_get(state), step=step)
+                logging.info("restored checkpoint step %d (%s)",
+                             int(state.step), args.modelCheckPoint)
+            except FileNotFoundError as e:
+                if args.modelCheckPoint not in (None, "latest"):
+                    raise SystemExit(f"--modelCheckPoint: {e}")
                 logging.warning("no checkpoint in %s — evaluating random "
                                 "init", ckpt_dir)
 
@@ -191,9 +197,11 @@ def main(argv=None):
                 cfg, det, tokens, forecast_mode=args.forecast_mode,
                 classname=classname, rerank=args.rerank,
                 nogroup=args.nogroup, jitter=args.jitter, jitter_K=args.K,
-                jitter_C=args.C, prototypes=prototypes)
+                jitter_C=args.C, prototypes=prototypes,
+                sample_times=gt.get("times"))
             g = gt_records_from_arrays(gt["boxes"], gt["valid"],
-                                       gt.get("traj"), tokens, classname)
+                                       gt.get("traj"), tokens, classname,
+                                       attrs=gt.get("attr"))
         for x in p:
             x.yaw = float(-x.yaw - np.pi / 2)
         preds.extend(p)

@@ -131,10 +131,14 @@ def fill_infos(nusc: NuScenesTables, nsweeps: int = 20, timesteps: int = 7,
         gt_tokens = np.full((n, timesteps), "", object)
         gt_vel = np.zeros((n, timesteps, 3), np.float32)
         gt_traj = np.full((n, timesteps), "static", object)
+        gt_attr = np.full((n,), "", object)
         keep = np.zeros(n, bool)
 
         for i, ann0 in enumerate(anns):
             keep[i] = (ann0["num_lidar_pts"] + ann0["num_radar_pts"]) > 0
+            # t=0 attribute for the AAE metric (nuScenes attr_acc compares
+            # against the current-sample annotation attribute)
+            gt_attr[i] = nusc.ann_attribute(ann0)
             ann = ann0
             tracklet_tokens = []
             centers, yaws, vels = [], [], []
@@ -165,6 +169,17 @@ def fill_infos(nusc: NuScenesTables, nsweeps: int = 20, timesteps: int = 7,
         info["gt_boxes_velocity"] = gt_vel[sel]
         info["gt_boxes_rvelocity"] = gt_vel[sel]
         info["gt_trajectory"] = gt_traj[sel]
+        info["gt_attributes"] = gt_attr[sel]
+        # per-sample keyframe gaps over the forecast horizon (ref get_time,
+        # nuscenes.py:57-62; tokens clamp at scene end like get_token :64-76,
+        # so trailing gaps go to 0)
+        toks = [sample["token"]]
+        cur = sample
+        for _ in range(timesteps - 1):
+            if cur["next"] != "":
+                cur = nusc.get("sample", cur["next"])
+            toks.append(cur["token"])
+        info["sample_times"] = np.asarray(_times(nusc, toks), np.float32)
         # ego-centric BEV map, 80 m crop resized to 180x180 (ref
         # nusc_common.py:508-509); zeros when the dataset ships no map table
         ego_map = nusc.get_ego_centric_map(sweeps[0]["sample_data_token"])

@@ -19,7 +19,7 @@ import numpy as np
 
 TABLES = ("scene", "sample", "sample_data", "sample_annotation",
           "calibrated_sensor", "ego_pose", "category", "instance",
-          "log", "map")
+          "log", "map", "attribute")
 
 
 def quat_to_rot(q) -> np.ndarray:
@@ -178,6 +178,14 @@ class NuScenesTables:
         rotated = np.asarray(Image.fromarray(out).rotate(yaw_deg))
         c = rotated.shape[0] // 2
         return rotated[c - limit_px:c + limit_px, c - limit_px:c + limit_px]
+
+    def ann_attribute(self, ann: dict) -> str:
+        """First attribute name of an annotation ('' when the annotation
+        carries none — nuScenes annotations have 0 or 1 attributes)."""
+        toks = ann.get("attribute_tokens") or []
+        if not toks or not self._t["attribute"]:
+            return ""
+        return self.get("attribute", toks[0])["name"]
 
     def lidar_path(self, sample_data_token: str) -> str:
         sd = self.get("sample_data", sample_data_token)

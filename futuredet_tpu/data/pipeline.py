@@ -124,7 +124,9 @@ def pack_gt(cfg: ExperimentConfig, gt_boxes, gt_names, gt_trajectory,
     """info gt arrays (N, T, 12)/(N, T) -> fixed (T, M, 12) + ids.
 
     Applies the class filter and the BEV-range filter on t=0 boxes
-    (ref Voxelization :249-254)."""
+    (ref Voxelization :249-254). Returns (boxes, cls, valid, traj, idx)
+    where idx are the kept source rows (for aligning per-object side
+    arrays like gt_attributes)."""
     T = cfg.timesteps
     M = cfg.assigner.max_objs
     out_boxes = np.zeros((T, M, 12), np.float32)
@@ -133,7 +135,7 @@ def pack_gt(cfg: ExperimentConfig, gt_boxes, gt_names, gt_trajectory,
     out_traj = np.zeros((M,), np.int32)
 
     if len(gt_boxes) == 0:
-        return out_boxes, out_cls, out_valid, out_traj
+        return out_boxes, out_cls, out_valid, out_traj, np.zeros(0, np.int64)
 
     gt_boxes = np.asarray(gt_boxes, np.float32)
     if gt_boxes.ndim == 2:  # single-timestep infos
@@ -159,7 +161,7 @@ def pack_gt(cfg: ExperimentConfig, gt_boxes, gt_names, gt_trajectory,
         out_valid[t, :n] = True
     out_traj[:n] = [TRAJ_TO_ID.get(str(tr), 1)
                     for tr in np.asarray(gt_trajectory)[idx, 0]]
-    return out_boxes, out_cls, out_valid, out_traj
+    return out_boxes, out_cls, out_valid, out_traj, idx
 
 
 class NuScenesForecastDataset:
@@ -215,9 +217,14 @@ class NuScenesForecastDataset:
         cfg = self.cfg
         info = self.infos[idx]
         pts = aggregate_sweeps(info, cfg.data.nsweeps, painted=self.painted)
-        gt_boxes, gt_cls, gt_valid, gt_traj = pack_gt(
+        gt_boxes, gt_cls, gt_valid, gt_traj, kept = pack_gt(
             cfg, info.get("gt_boxes", []), info.get("gt_names", []),
             info.get("gt_trajectory", []), cfg.data.class_names)
+        M = gt_boxes.shape[1]
+        gt_attr = np.full((M,), "", object)
+        src_attr = info.get("gt_attributes")
+        if src_attr is not None and len(kept):
+            gt_attr[:len(kept)] = np.asarray(src_attr, object)[kept]
         if self.train and self.db_sampler is not None:
             # GT-AUG paste (ref Preprocess :147-182)
             n0 = int(gt_valid[0].sum())
@@ -250,7 +257,13 @@ class NuScenesForecastDataset:
         out = {"points": points, "points_valid": pvalid,
                "gt_boxes": gt_boxes, "gt_classes": gt_cls,
                "gt_valid": gt_valid, "traj_classes": gt_traj,
+               "gt_attr": gt_attr,
                "token": info.get("token", str(idx))}
+        # per-sample keyframe gaps (ref get_time); the evaluator falls back
+        # to the nominal 2 Hz spacing when the horizon length mismatches
+        times = info.get("sample_times")
+        out["times"] = (np.asarray(times, np.float32) if times is not None
+                        else np.zeros((0,), np.float32))
         if cfg.model.head.bev_map:
             bev = np.asarray(info.get("bev", np.zeros((180, 180))),
                              np.float32)
@@ -305,6 +318,8 @@ def batches_from_dataset(ds, cfg: ExperimentConfig, batch_size: int,
                 "valid": np.stack([s["gt_valid"] for s in samples]),
                 "classes": np.stack([s["gt_classes"] for s in samples]),
                 "traj": np.stack([s["traj_classes"] for s in samples]),
+                "attr": [s["gt_attr"] for s in samples],
+                "times": [s["times"] for s in samples],
             }
             yield batch
         if not loop:

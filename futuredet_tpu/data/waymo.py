@@ -48,7 +48,7 @@ class WaymoDataset:
         pts = read_waymo_frame(info["path"])
         pts = np.hstack([pts[:, :5],
                          np.zeros((len(pts), 1), np.float32)])  # time lag
-        gt_boxes, gt_cls, gt_valid, gt_traj = pack_gt(
+        gt_boxes, gt_cls, gt_valid, gt_traj, _ = pack_gt(
             cfg, info.get("gt_boxes", []), info.get("gt_names", []),
             np.full((len(info.get("gt_boxes", [])), 1), "static"),
             cfg.data.class_names)

@@ -22,6 +22,31 @@ from .metrics import EvalResult, GTRecord, PredRecord, evaluate_forecasts
 
 DT = 0.5
 
+# Most-common training-set attribute per class (ref cls_attr_dist,
+# nusc_common.py:54-150 — only car/pedestrian are active in the fork; the
+# serialization falls back to this when the speed heuristic abstains).
+MOST_COMMON_ATTR = {"car": "vehicle.parked", "pedestrian": "pedestrian.moving"}
+
+
+def pred_attribute(classname: str, speed: float) -> str:
+    """Speed-heuristic attribute for a serialized detection
+    (ref nuscenes.py:760-784): moving vehicles -> vehicle.moving, slow
+    pedestrians -> pedestrian.standing, else the class's most common
+    training-set attribute."""
+    attr = None
+    if speed > 0.2:
+        if classname in ("car", "construction_vehicle", "bus", "truck",
+                         "trailer"):
+            attr = "vehicle.moving"
+        elif classname in ("bicycle", "motorcycle"):
+            attr = "cycle.with_rider"
+    else:
+        if classname == "pedestrian":
+            attr = "pedestrian.standing"
+        elif classname == "bus":
+            attr = "vehicle.stopped"
+    return attr if attr is not None else MOST_COMMON_ATTR.get(classname, "")
+
 
 def detections_to_predictions(cfg: ExperimentConfig, det: Detections,
                               sample_tokens: Sequence[str], *,
@@ -53,8 +78,9 @@ def detections_to_predictions(cfg: ExperimentConfig, det: Detections,
 
     out: List[PredRecord] = []
     for b, tok in enumerate(sample_tokens):
-        times = (list(sample_times[b]) if sample_times is not None
-                 else default_times)
+        times = default_times
+        if sample_times is not None and len(sample_times[b]) == T - 1:
+            times = [float(t) for t in sample_times[b]]
         per_t = split_by_timestep(boxes[b], scores[b], labels[b], valid[b], T)
         trajs = link_sample(classname, forecast_mode, times, per_t)
         if prototypes is not None:
@@ -67,13 +93,16 @@ def detections_to_predictions(cfg: ExperimentConfig, det: Detections,
             trajs = multi_future(trajs)
         for i, tr in enumerate(trajs):
             fs = trajectory_score(tr, rerank, T)
+            vel = tr.boxes[0][6:8].copy()
             out.append(PredRecord(
                 sample=tok, centers=tr.boxes[:, :2].copy(),
                 size=tr.boxes[0][3:6].copy(), yaw=float(tr.boxes[0][8]),
-                vel=tr.boxes[0][6:8].copy(), det_score=tr.det_score,
+                vel=vel, det_score=tr.det_score,
                 forecast_score=fs,
                 forecast_id=tr.forecast_id if not nogroup else -1,
-                classname=classname))
+                classname=classname,
+                attr=pred_attribute(classname,
+                                    float(np.linalg.norm(vel)))))
     return out
 
 
@@ -93,11 +122,14 @@ def multitask_detection_records(cfg: ExperimentConfig, det: Detections,
         for i in np.nonzero(valid[b])[0]:
             box = boxes[b, i]
             s = float(scores[b, i])
+            cls = names[int(labels[b, i])]
             out.append(PredRecord(
                 sample=tok, centers=box[None, :2].copy(),
                 size=box[3:6].copy(), yaw=float(box[8]),
                 vel=box[6:8].copy(), det_score=s, forecast_score=s,
-                forecast_id=-1, classname=names[int(labels[b, i])]))
+                forecast_id=-1, classname=cls,
+                attr=pred_attribute(
+                    cls, float(np.linalg.norm(box[6:8])))))
     return out
 
 
@@ -148,8 +180,12 @@ def evaluate_detections_multitask(cfg: ExperimentConfig, det: Detections,
 
 def gt_records_from_arrays(gt_boxes, gt_valid, traj_classes,
                            sample_tokens: Sequence[str],
-                           classname: str = "car") -> List[GTRecord]:
-    """gt_boxes (B, T, M, 12) in the info layout -> GTRecords."""
+                           classname: str = "car",
+                           attrs=None) -> List[GTRecord]:
+    """gt_boxes (B, T, M, 12) in the info layout -> GTRecords.
+
+    attrs: optional (B, M) array of annotation attribute names ("" = none),
+    plumbed from info["gt_attributes"] for the AAE metric."""
     out: List[GTRecord] = []
     B, T, M, _ = gt_boxes.shape
     for b in range(B):
@@ -163,7 +199,8 @@ def gt_records_from_arrays(gt_boxes, gt_valid, traj_classes,
                 sample=sample_tokens[b], centers=boxes[:, :2].copy(),
                 size=boxes[0, 3:6].copy(),
                 yaw=float(-boxes[0, 10] - np.pi / 2),
-                vel=boxes[0, 6:8].copy(), classname=classname, cohort=cohort))
+                vel=boxes[0, 6:8].copy(), classname=classname, cohort=cohort,
+                attr=str(attrs[b][k]) if attrs is not None else ""))
     return out
 
 

@@ -50,6 +50,18 @@ MIN_PRECISION = 0.1
 N_RECALL_SAMPLES = 101
 COHORTS = ("static", "linear", "nonlinear")
 
+# Per-class eval range in meters from ego (the nuScenes detection eval's
+# class_range, detection_cvpr_2019 — applied by the devkit's
+# filter_eval_boxes to BOTH GT and predictions before accumulation; the
+# reference consumes it implicitly through eval_main,
+# /root/reference/det3d/datasets/nuscenes/nusc_common.py:667-688).
+# Records are in the reference lidar frame, so ego distance = |center(t=0)|.
+CLASS_RANGES = {
+    "car": 50.0, "truck": 50.0, "bus": 50.0, "trailer": 50.0,
+    "construction_vehicle": 50.0, "pedestrian": 40.0, "motorcycle": 40.0,
+    "bicycle": 40.0, "traffic_cone": 30.0, "barrier": 30.0,
+}
+
 
 @dataclass
 class PredRecord:
@@ -62,6 +74,7 @@ class PredRecord:
     forecast_score: float
     forecast_id: int
     classname: str
+    attr: str = ""             # attribute name (speed heuristic, serialize)
 
 
 @dataclass
@@ -73,6 +86,7 @@ class GTRecord:
     vel: np.ndarray
     classname: str
     cohort: str = "static"
+    attr: str = ""             # annotation attribute ("" = none -> AAE skips)
 
 
 def _yaw_diff(a, b):
@@ -130,6 +144,18 @@ def _flatten_for_native(units, gts: List[GTRecord], gt_index):
         np.array([gts[i].yaw for i in gt_rows]), np.float32)
     gt_vel = np.ascontiguousarray(
         np.stack([gts[i].vel for i in gt_rows]), np.float32)
+    # attribute vocabulary: ids shared between GT and members; -1 = no attr
+    attr_vocab: Dict[str, int] = {}
+
+    def attr_id(a: str) -> int:
+        if not a:
+            return -1
+        if a not in attr_vocab:
+            attr_vocab[a] = len(attr_vocab)
+        return attr_vocab[a]
+
+    gt_attr = np.ascontiguousarray(
+        np.array([attr_id(gts[i].attr) for i in gt_rows], np.int32))
 
     members = [p for u in units for p in u]
     uoffs = np.zeros(len(units) + 1, np.int32)
@@ -146,6 +172,8 @@ def _flatten_for_native(units, gts: List[GTRecord], gt_index):
             np.array([p.yaw for p in members]), np.float32)
         mem_vel = np.ascontiguousarray(
             np.stack([p.vel for p in members]), np.float32)
+        mem_attr = np.ascontiguousarray(
+            np.array([attr_id(p.attr) for p in members], np.int32))
     else:
         T = gt_centers.shape[1]
         mem_sample = np.zeros((0,), np.int32)
@@ -153,8 +181,9 @@ def _flatten_for_native(units, gts: List[GTRecord], gt_index):
         mem_size = np.zeros((0, 3), np.float32)
         mem_yaw = np.zeros((0,), np.float32)
         mem_vel = np.zeros((0, 2), np.float32)
+        mem_attr = np.zeros((0,), np.int32)
     return (uoffs, mem_sample, mem_centers, mem_size, mem_yaw, mem_vel,
-            offs, gt_centers, gt_size, gt_yaw, gt_vel)
+            mem_attr, offs, gt_centers, gt_size, gt_yaw, gt_vel, gt_attr)
 
 
 def _accumulate(preds: List[PredRecord], gts: List[GTRecord], dist_th: float,
@@ -248,7 +277,10 @@ def _accumulate(preds: List[PredRecord], gts: List[GTRecord], dist_th: float,
             errs["scale_err"].append(1.0 - inter / max(union, 1e-9))
             errs["orient_err"].append(_yaw_diff(p.yaw, g.yaw))
             errs["vel_err"].append(float(np.linalg.norm(p.vel - g.vel)))
-            errs["attr_err"].append(0.0)
+            # nuScenes attr_acc: nan (excluded from the cummean) when the
+            # GT carries no attribute, else exact-name mismatch
+            errs["attr_err"].append(
+                np.nan if not g.attr else float(p.attr != g.attr))
             errs["avg_disp_err"].append(float(np.mean(disp)))
             errs["final_disp_err"].append(float(disp[-1]))
             errs["miss"].append(float(disp[-1] > MR_THRESH))
@@ -275,6 +307,17 @@ def _calc_ap(acc) -> Tuple[float, float]:
     return float(np.mean(p) / (1 - MIN_PRECISION)), float(rec[-1])
 
 
+def _cummean(x: np.ndarray) -> np.ndarray:
+    """Cumulative mean that skips NaN entries (nuScenes utils.cummean):
+    all-NaN input -> ones; prefixes before the first finite value -> 0."""
+    if np.all(np.isnan(x)):
+        return np.ones(len(x))
+    sum_vals = np.nancumsum(x.astype(np.float64))
+    count_vals = np.cumsum(~np.isnan(x))
+    return np.divide(sum_vals, count_vals,
+                     out=np.zeros_like(sum_vals), where=count_vals > 0)
+
+
 def _calc_tp_errors(acc, tp_pct: float) -> Dict[str, float]:
     """Cumulative-mean TP errors averaged over recall in [10%, tp_pct]
     (nuScenes calc_tp with the fork's tp_pct recall cap)."""
@@ -291,10 +334,10 @@ def _calc_tp_errors(acc, tp_pct: float) -> Dict[str, float]:
     first = round(100 * MIN_RECALL) + 1
     for name in names + ["miss"]:
         e = acc["errs"][name]
-        if len(e) == 0:
+        if len(e) == 0 or np.all(np.isnan(e)):
             out[name if name != "miss" else "miss_rate"] = 1.0
             continue
-        cum = np.cumsum(e) / np.arange(1, len(e) + 1)
+        cum = _cummean(e)
         rec_tp = rec[tp_mask]
         ei = np.interp(rec_interp, rec_tp, cum, right=cum[-1])
         if last <= first:
@@ -347,8 +390,23 @@ def evaluate_forecasts(preds: List[PredRecord], gts: List[GTRecord],
                        cohort_analysis: bool = False, topk: int = 1,
                        static_only: bool = False,
                        association_oracle: bool = False,
-                       horizon_seconds: float = 3.0) -> EvalResult:
+                       horizon_seconds: float = 3.0,
+                       class_ranges: Optional[Dict[str, float]] = None
+                       ) -> EvalResult:
     """Full metric computation over all samples."""
+    # class-range filter (devkit filter_eval_boxes): drop preds AND GT whose
+    # t=0 center lies beyond the per-class eval range from ego. Records are
+    # in the reference lidar frame, so ego distance = |center(0)|. The
+    # devkit's companion num_pts>0 GT filter is applied upstream at info
+    # generation (filter_zero, data/infos.py).
+    ranges = CLASS_RANGES if class_ranges is None else class_ranges
+    if ranges:
+        rng_of = lambda cls: ranges.get(cls, np.inf)
+        preds = [p for p in preds
+                 if np.linalg.norm(p.centers[0]) < rng_of(p.classname)]
+        gts = [g for g in gts
+               if np.linalg.norm(g.centers[0]) < rng_of(g.classname)]
+
     if cohort_analysis:
         eval_classes = [f"{c}_{cls}" for cls in class_names for c in COHORTS]
 

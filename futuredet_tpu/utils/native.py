@@ -32,7 +32,7 @@ def _lib() -> Optional[ctypes.CDLL]:
     # a stale prebuilt .so (older csrc) may miss newer entry points — rebuild
     # once, and fall back to pure numpy rather than crash if still missing
     required = ("fd_load_sweeps", "fd_voxelize", "fd_shuffle",
-                "fd_accumulate")
+                "fd_accumulate2")
     if not all(hasattr(lib, s) for s in required):
         try:
             subprocess.run(["make", "-B", "-C", os.path.abspath(_CSRC)],
@@ -112,13 +112,14 @@ def voxelize_native(points: np.ndarray, voxel_size, coors_range,
 
 
 def accumulate_native(unit_offsets, mem_sample, mem_centers, mem_size,
-                      mem_yaw, mem_vel, gt_offsets, gt_centers, gt_size,
-                      gt_yaw, gt_vel, *, dist_th: float,
+                      mem_yaw, mem_vel, mem_attr, gt_offsets, gt_centers,
+                      gt_size, gt_yaw, gt_vel, gt_attr, *, dist_th: float,
                       final_match_th: Optional[float], match_timestep: int,
                       association_oracle: bool, mr_thresh: float):
-    """Greedy matcher for the joint-metrics engine (fd_accumulate).
+    """Greedy matcher for the joint-metrics engine (fd_accumulate2).
     Returns (tp (U,) uint8, errs (U, 8) float32) or None if unavailable.
-    Error columns: trans, scale, orient, vel, attr, ade, fde, miss."""
+    Error columns: trans, scale, orient, vel, attr, ade, fde, miss; the attr
+    column is NaN for TPs whose GT has no attribute (id -1)."""
     lib = _lib()
     if lib is None:
         return None
@@ -129,18 +130,20 @@ def accumulate_native(unit_offsets, mem_sample, mem_centers, mem_size,
     taken = np.zeros((max(G, 1),), np.uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
     f32p = ctypes.POINTER(ctypes.c_float)
-    lib.fd_accumulate(
+    lib.fd_accumulate2(
         unit_offsets.ctypes.data_as(i32p), ctypes.c_int64(U),
         mem_sample.ctypes.data_as(i32p),
         mem_centers.ctypes.data_as(f32p),
         mem_size.ctypes.data_as(f32p),
         mem_yaw.ctypes.data_as(f32p),
         mem_vel.ctypes.data_as(f32p),
+        mem_attr.ctypes.data_as(i32p),
         gt_offsets.ctypes.data_as(i32p),
         gt_centers.ctypes.data_as(f32p),
         gt_size.ctypes.data_as(f32p),
         gt_yaw.ctypes.data_as(f32p),
         gt_vel.ctypes.data_as(f32p),
+        gt_attr.ctypes.data_as(i32p),
         ctypes.c_int(T), ctypes.c_float(dist_th),
         ctypes.c_float(-1.0 if final_match_th is None else final_match_th),
         ctypes.c_int(match_timestep),

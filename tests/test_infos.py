@@ -79,11 +79,16 @@ def _mk_mini_nusc(root, n_samples=N_SAMPLES, scene_names=("scene-0001",),
                     "prev": f"{pre}a{i-1}_{k}" if i > 0 else "",
                     "next": f"{pre}a{i+1}_{k}" if i < n_samples - 1 else "",
                     "num_lidar_pts": 50, "num_radar_pts": 0,
+                    # static object carries 'parked', the mover 'moving'
+                    "attribute_tokens": ["at_parked" if k == 0
+                                         else "at_moving"],
                 })
+    attribute = [{"token": "at_parked", "name": "vehicle.parked"},
+                 {"token": "at_moving", "name": "vehicle.moving"}]
     tables = {"scene": scene, "sample": samples, "sample_data": sample_datas,
               "ego_pose": poses, "calibrated_sensor": cs,
               "sample_annotation": anns, "category": category,
-              "instance": instance}
+              "instance": instance, "attribute": attribute}
     if with_map:
         # a 40x40 m all-drivable raster occupying global x,y in [0, 40):
         # ego sits at its bottom-left corner, so the ego-centric crop is
@@ -121,6 +126,14 @@ def test_fill_infos_builds_forecast_gt(tmp_path):
     np.testing.assert_allclose(mover[0, 2], 0.5 - 1.8, atol=1e-5)
     # stored yaw convention
     np.testing.assert_allclose(mover[0, 10], -0.0 - np.pi / 2, atol=1e-6)
+    # t=0 annotation attributes for the AAE metric
+    assert info["gt_attributes"].tolist() == ["vehicle.parked",
+                                              "vehicle.moving"]
+    # per-sample keyframe gaps: 0.5 s cadence, clamped to 0 at scene end
+    assert info["sample_times"].shape == (6,)
+    np.testing.assert_allclose(info["sample_times"], 0.5, atol=1e-6)
+    last = infos[-1]
+    np.testing.assert_allclose(last["sample_times"], 0.0, atol=1e-6)
 
 
 def test_create_data_then_dataset_then_gtaug(tmp_path):

@@ -99,10 +99,16 @@ def test_false_positives_reduce_ap():
     gt_xs = [0.0] * T
     gts = [_mk_gt(f"s{i}", gt_xs) for i in range(10)]
     preds = [_mk_pred(f"s{i}", gt_xs, det=0.9) for i in range(10)]
-    # add 10 high-scoring FPs far away
-    preds += [_mk_pred(f"s{i}", [100.0] * T, det=0.95) for i in range(10)]
+    # add 10 high-scoring FPs far from the GT but inside the 50 m car
+    # eval range (beyond it the class-range filter would drop them)
+    preds += [_mk_pred(f"s{i}", [30.0] * T, det=0.95) for i in range(10)]
     r = evaluate_forecasts(preds, gts, ["car"])
     assert 0.2 < r.mean_dist_aps["car"] < 0.9
+    # ... and confirm the range filter DOES drop out-of-range FPs
+    far = preds[:10] + [_mk_pred(f"s{i}", [100.0] * T, det=0.95)
+                        for i in range(10)]
+    r2 = evaluate_forecasts(far, gts, ["car"])
+    assert r2.mean_dist_aps["car"] > 0.95
 
 
 def test_topk_multi_future_rescues_fap():

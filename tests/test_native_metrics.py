@@ -23,7 +23,9 @@ def _random_world(seed, n_samples=6, n_gt=12, n_pred=30, T=7):
             gts.append(M.GTRecord(
                 tok, centers, rng.uniform(0.5, 3, 3), rng.uniform(-3, 3),
                 vel, "car",
-                cohort=("static", "linear", "nonlinear")[rng.integers(3)]))
+                cohort=("static", "linear", "nonlinear")[rng.integers(3)],
+                attr=("", "vehicle.moving", "vehicle.parked",
+                      "vehicle.stopped")[rng.integers(4)]))
         for k in range(n_pred):
             if rng.random() < 0.7:
                 # noisy copy of a GT trajectory (true-positive candidates)
@@ -43,7 +45,8 @@ def _random_world(seed, n_samples=6, n_gt=12, n_pred=30, T=7):
             preds.append(M.PredRecord(
                 tok, centers, size, float(yaw),
                 vel, float(rng.random()), float(rng.random()),
-                int(rng.integers(-1, 6)), "car"))
+                int(rng.integers(-1, 6)), "car",
+                attr=("vehicle.moving", "vehicle.parked")[rng.integers(2)]))
     return preds, gts
 
 

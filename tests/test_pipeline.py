@@ -2,6 +2,7 @@
 import pickle
 
 import numpy as np
+import pytest
 
 from futuredet_tpu.data import pipeline as PL
 from tests.test_models import tiny_cfg
@@ -39,6 +40,9 @@ def _mk_infos(tmp_path, n_samples=3, n_sweeps=2, timesteps=7):
             "lidar_path": str(key_path), "token": f"tok{i}",
             "sweeps": sweeps, "gt_boxes": boxes, "gt_names": names,
             "gt_trajectory": traj,
+            "gt_attributes": np.array([f"attr{j}" for j in range(n_obj)],
+                                      object),
+            "sample_times": np.full((timesteps - 1,), 0.45, np.float32),
         })
     p = tmp_path / "infos.pkl"
     with open(p, "wb") as f:
@@ -57,6 +61,11 @@ def test_dataset_reads_infos_and_packs(tmp_path):
     P = cfg.voxel.max_points
     assert s["points"].shape == (P, 6)          # 5 feats + time lag
     assert s["points_valid"].sum() > 0
+    # attributes align through the class filter (object 0 'truck' dropped)
+    assert s["gt_attr"][:3].tolist() == ["attr1", "attr2", "attr3"]
+    assert (s["gt_attr"][3:] == "").all()
+    # per-sample keyframe gaps surfaced for the evaluator (ref get_time)
+    np.testing.assert_allclose(s["times"], 0.45, atol=1e-6)
     assert s["gt_boxes"].shape == (7, 16, 12)
     # truck filtered, 3 cars packed
     assert s["gt_valid"][0].sum() == 3
@@ -147,6 +156,7 @@ def _mk_infos_gtaug(tmp_path, n_samples=3, timesteps=7):
     return str(p)
 
 
+@pytest.mark.slow
 def test_gt_aug_pastes_objects_with_timestep_velocities(tmp_path):
     from futuredet_tpu.data.gt_database import (build_db_sampler,
                                                 create_groundtruth_database)
@@ -197,6 +207,7 @@ def test_gt_aug_pastes_objects_with_timestep_velocities(tmp_path):
     assert pasted_seen >= 3
 
 
+@pytest.mark.slow
 def test_train_cli_enables_gt_aug_by_default(tmp_path, monkeypatch):
     """`train --info_path` with dbinfos alongside builds the sampler with
     the config's reference groups (VERDICT round-1 item #1)."""
