@@ -59,6 +59,11 @@ def parse_args(argv=None):
                         "unflipped head maps (reference formulation), 'box' "
                         "ensembles per-flip detections")
     p.add_argument("--out", default=None, help="metrics json path")
+    p.add_argument("--coordinator_address", default=None,
+                   help="multi-host bring-up: coordinator host:port "
+                        "(replaces torch.distributed NCCL env:// init)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true",
                    help="shrunken geometry for smoke tests")
@@ -77,6 +82,12 @@ def main(argv=None):
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s", force=True)
+    from ..parallel.collectives import gather_eval_batch, initialize_multihost
+    n_proc = initialize_multihost(args.coordinator_address,
+                                  args.num_processes, args.process_id)
+    if n_proc > 1:
+        logging.info("multi-host eval: process %d/%d",
+                     jax.process_index(), n_proc)
     cfg = get_config(args.model)
     if args.tiny:
         from ..config import tiny_variant
@@ -93,6 +104,8 @@ def main(argv=None):
                         for i in range(max(args.synthetic // args.batch_size, 1))]
         for i, b in enumerate(eval_batches):
             b["tokens"] = [f"syn{i}_{j}" for j in range(args.batch_size)]
+        # strided per-process shard (mirrors batches_from_dataset's sharding)
+        eval_batches = eval_batches[jax.process_index()::n_proc]
     else:
         if not args.info_path or not os.path.exists(args.info_path):
             raise SystemExit(
@@ -102,7 +115,8 @@ def main(argv=None):
         ds = NuScenesForecastDataset(cfg, args.info_path, train=False,
                                      class_balanced=False)
         eval_batches = list(batches_from_dataset(
-            ds, cfg, args.batch_size, shuffle=False, loop=False))
+            ds, cfg, args.batch_size, shuffle=False, loop=False,
+            num_shards=n_proc, shard_id=jax.process_index()))
 
     if not args.eval_only:
         first = {k: v for k, v in eval_batches[0].items()
@@ -158,7 +172,16 @@ def main(argv=None):
             mesh = make_mesh_2d(data_axis_size(args.batch_size, args.space),
                                 args.space)
         fwd = make_eval_forward(cfg, mesh)
-        if args.tta != "none":
+        if cfg.model.two_stage_refine:
+            # RoI-refined detections come straight out of the forward
+            # (ref two_stage.py post_process :120-155)
+            if args.tta != "none":
+                raise SystemExit("--tta is not supported for two-stage "
+                                 "configs")
+            from ..models.two_stage import refined_detections
+            infer = jax.jit(lambda p, s, b: (
+                lambda out: refined_detections(out[1], out[2]))(fwd(p, s, b)))
+        elif args.tta != "none":
             from ..eval.tta import infer_double_flip, infer_double_flip_map
             tta_fn = (infer_double_flip_map if args.tta == "map"
                       else infer_double_flip)
@@ -183,7 +206,13 @@ def main(argv=None):
 
     def consume(item):
         det_dev, gt, tokens = item
-        det = jax.device_get(det_dev)
+        if n_proc > 1:
+            # cross-host gather (replaces the reference's pickle-padded
+            # dist.all_gather of detection dicts, torchie/trainer/utils.py:
+            # 100-155): every host ends up with the full batch's records
+            det, gt, tokens = gather_eval_batch(det_dev, gt, tokens)
+        else:
+            det = jax.device_get(det_dev)
         if args.extractBox:
             saved.append((det, gt, tokens))
         if multitask:
@@ -267,7 +296,7 @@ def main(argv=None):
                          "batches (%.1f samples/s)",
                          1e3 * float(np.mean(lat)), len(lat),
                          1.0 / float(np.mean(lat)))
-        if args.extractBox:
+        if args.extractBox and jax.process_index() == 0:
             import pickle
             with open(pred_path, "wb") as f:
                 pickle.dump(saved, f)
@@ -280,6 +309,11 @@ def main(argv=None):
 
     summary = results.summary()
     out_path = args.out or f"metrics_{args.model}_{args.forecast_mode}.json"
+    if jax.process_index() != 0:
+        # every host holds the gathered records and computes identical
+        # metrics; only process 0 writes files (ref: rank-0 evaluation,
+        # tools/dist_test.py:242-252)
+        return summary
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
 

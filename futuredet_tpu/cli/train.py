@@ -47,6 +47,17 @@ def parse_args(argv=None):
     p.add_argument("--space", type=int, default=1,
                    help="spatial mesh axis size: shard BEV rows over this "
                         "many devices (GSPMD halo exchanges)")
+    p.add_argument("--first_stage_checkpoint", default=None,
+                   help="two-stage configs: work dir of a trained "
+                        "single-stage checkpoint to graft under the "
+                        "first_stage scope (ref TwoStageDetector builds its "
+                        "first stage from a checkpoint, two_stage.py:21-27)")
+    p.add_argument("--coordinator_address", default=None,
+                   help="multi-host bring-up: coordinator host:port "
+                        "(replaces torch.distributed.launch + NCCL env:// "
+                        "init, ref tools/train.py:84-92)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--tiny", action="store_true",
                    help="shrunken geometry for smoke tests")
     p.add_argument("--debug", action="store_true")
@@ -65,6 +76,14 @@ def main(argv=None):
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s", force=True)
+    from ..parallel.collectives import initialize_multihost
+    n_proc = initialize_multihost(args.coordinator_address,
+                                  args.num_processes, args.process_id)
+    if n_proc > 1:
+        import jax as _jax
+        logging.info("multi-host training: process %d/%d, %d local / %d "
+                     "global devices", _jax.process_index(), n_proc,
+                     _jax.local_device_count(), _jax.device_count())
     cfg = get_config(args.model)
     if args.tiny:
         from ..config import tiny_variant
@@ -157,8 +176,12 @@ def main(argv=None):
 
         def val_fn(state):
             import numpy as _np
-            det = _jax.device_get(decode_and_nms(
-                cfg, vfwd(state.params, state.batch_stats, vin)))
+            out = vfwd(state.params, state.batch_stats, vin)
+            if cfg.model.two_stage_refine:
+                from ..models.two_stage import refined_detections
+                det = _jax.device_get(refined_detections(out[1], out[2]))
+            else:
+                det = _jax.device_get(decode_and_nms(cfg, out))
             if multitask:
                 # class-labeled detection metrics (no forecast linking)
                 from ..eval.evaluator import evaluate_detections_multitask
@@ -174,6 +197,36 @@ def main(argv=None):
                     "mFAP": round(float(_np.mean(
                         list(res.mean_dist_faps.values()))), 4)}
 
+    init_transform = None
+    if args.first_stage_checkpoint:
+        if not cfg.model.two_stage_refine:
+            raise SystemExit("--first_stage_checkpoint requires a "
+                             "*_two_stage config")
+
+        def init_transform(state):
+            import jax as _jax
+            from ..data.synthetic import make_batch as _mb
+            from ..models.two_stage import adopt_first_stage
+            from ..train.checkpoints import CheckpointManager
+            from ..train.step import init_state as _init
+            single = get_config(args.model.removesuffix("_two_stage"))
+            if args.tiny:
+                from ..config import tiny_variant as _tv
+                single = _tv(single)
+            b = _mb(single, 1, seed=0)
+            st = _init(single, _jax.random.PRNGKey(0),
+                       {k: v for k, v in b.items()
+                        if k in ("points", "points_valid", "bev_map",
+                                 "targets")}, total_steps=1)
+            st = CheckpointManager(args.first_stage_checkpoint).restore(
+                _jax.device_get(st))
+            logging.info("grafted first-stage checkpoint step %d from %s",
+                         int(st.step), args.first_stage_checkpoint)
+            return state._replace(
+                params=adopt_first_stage(state.params, st.params),
+                batch_stats=adopt_first_stage(state.batch_stats,
+                                              st.batch_stats))
+
     hooks = []
     if args.tensorboard:
         from ..train.trainer import TensorBoardHook
@@ -186,11 +239,12 @@ def main(argv=None):
             state = train(cfg, batches, steps_per_epoch=steps_per_epoch,
                           work_dir=work_dir, n_space=args.space,
                           val_fn=val_fn, resume=args.resume_from,
-                          hooks=hooks)
+                          hooks=hooks, init_transform=init_transform)
     else:
         state = train(cfg, batches, steps_per_epoch=steps_per_epoch,
                       work_dir=work_dir, n_space=args.space,
-                      val_fn=val_fn, resume=args.resume_from, hooks=hooks)
+                      val_fn=val_fn, resume=args.resume_from, hooks=hooks,
+                      init_transform=init_transform)
     logging.info("training done at step %d; checkpoints in %s",
                  int(state.step), work_dir)
     return state

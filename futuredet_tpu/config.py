@@ -76,6 +76,9 @@ class HeadConfig:
     forecast_feature: bool = False
     classify: bool = False
     wide_head: bool = False
+    # DCN feature-adaption head (ref center_head.py:176-228,317-318; every
+    # shipped reference config has dcn_head=False)
+    dcn_head: bool = False
     init_bias: float = -2.19
     num_hm_conv: int = 2
 
@@ -152,10 +155,19 @@ class RPNConfig:
 class ModelConfig:
     detector: str = "voxelnet"        # "voxelnet" | "pointpillars"
     reader: str = "mean_vfe"          # "mean_vfe" | "pillar_feature_net"
+    # reference PFN padding-floor quirk (readers.PillarFeatureNetDirect
+    # docstring): required for converted-reference-checkpoint parity; costs
+    # ~1 ms/sample of per-pillar phantom-row work. Models trained in this
+    # framework are self-consistent with it off.
+    pfn_pad_floor: bool = True
     num_input_features: int = 5
     pillar_filters: Tuple[int, ...] = (64,)
     rpn: RPNConfig = field(default_factory=RPNConfig)
     head: HeadConfig = field(default_factory=HeadConfig)
+    # second-stage RoI refinement (ref detectors/two_stage.py:9-193): decode
+    # first-stage proposals inside the forward, pool BEV features at 5 box
+    # points, refine score + residuals with the RoI head
+    two_stage_refine: bool = False
     # sparse middle encoder (ref: scn.py:98-146)
     middle: str = "sparse"            # "sparse" | "dense" (BEV fallback tower)
     middle_channels: Tuple[int, ...] = (16, 32, 64, 128)
@@ -307,6 +319,11 @@ def get_config(name: str) -> ExperimentConfig:
     classname = "pedestrian" if "pedestrian" in name else "car"
     detector = "pointpillars" if name.startswith("pp_") else "voxelnet"
     key = name.replace("pp_", "").replace("pedestrian_", "")
+    # `{model}_two_stage`: first stage + RoI refinement, trained with the
+    # TWO_STAGE freeze schedule (ref TWO_STAGE flag in configs, consumed at
+    # apis/train.py:353-356 + detectors/two_stage.py)
+    two_stage = key.endswith("_two_stage")
+    key = key.removesuffix("_two_stage")
 
     if key == "forecast_n0":
         cfg = _base(classname, 1, dense=False, forecast_feats=False,
@@ -339,6 +356,10 @@ def get_config(name: str) -> ExperimentConfig:
                 sample_groups=tuple((n, 2) for n in names)))
     else:
         raise KeyError(f"unknown config name: {name}")
+    if two_stage:
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, two_stage_refine=True,
+            head=dataclasses.replace(cfg.model.head, two_stage=True)))
     return cfg.replace(name=name)
 
 
@@ -348,6 +369,7 @@ CONFIG_NAMES = [
     "pedestrian_forecast_n3dtf", "pedestrian_forecast_n3dtfm",
     "pp_forecast_n3dtf", "pp_pedestrian_forecast_n3dtf",
     "centerpoint_multitask", "pp_centerpoint_multitask",
+    "forecast_n3dtf_two_stage", "pp_forecast_n3dtf_two_stage",
 ]
 
 

@@ -148,8 +148,14 @@ def pack_gt(cfg: ExperimentConfig, gt_boxes, gt_names, gt_trajectory,
     keep = np.isin(names0, list(class_names))
     pc = cfg.voxel.pc_range
     b0 = gt_boxes[:, 0]
-    keep &= ((b0[:, 0] >= pc[0]) & (b0[:, 0] <= pc[3])
-             & (b0[:, 1] >= pc[1]) & (b0[:, 1] <= pc[4]))
+    # any-corner BEV range test (ref prep.filter_gt_box_outside_range,
+    # core/sampler/preprocess.py:113-127: corners from (w, l) and the LAST
+    # box column as angle — rrot for 12-col forecast boxes, quirk preserved)
+    from .gt_database import _corners_bev
+    corners = _corners_bev(b0.astype(np.float64), -1)
+    inside = ((corners[..., 0] >= pc[0]) & (corners[..., 0] <= pc[3])
+              & (corners[..., 1] >= pc[1]) & (corners[..., 1] <= pc[4]))
+    keep &= inside.any(axis=1)
     idx = np.where(keep)[0][:M]
     n = len(idx)
     Ti = min(T, gt_boxes.shape[1])
@@ -309,6 +315,13 @@ def batches_from_dataset(ds, cfg: ExperimentConfig, batch_size: int,
                     for s in samples]
             batch["targets"] = {k: jnp.stack([t[k] for t in tgts])
                                 for k in tgts[0]}
+            if cfg.model.two_stage_refine:
+                # RoI target assignment needs the raw t0 GT boxes
+                # (ref gt_boxes_and_cls through collate, two_stage.py:181)
+                batch["targets"]["gt_boxes"] = jnp.asarray(
+                    np.stack([s["gt_boxes"][0] for s in samples]))
+                batch["targets"]["gt_valid"] = jnp.asarray(
+                    np.stack([s["gt_valid"][0] for s in samples]))
             if "bev_map" in samples[0]:
                 batch["bev_map"] = jnp.asarray(
                     np.stack([s["bev_map"] for s in samples]))

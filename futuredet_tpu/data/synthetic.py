@@ -41,7 +41,11 @@ class Scene:
 def make_scene(cfg: ExperimentConfig, n_objects: int = 12,
                n_clutter: int = 20000, points_per_object: int = 600,
                seed: int = 0, max_objs: Optional[int] = None,
-               speed_range: tuple = (3.0, 10.0)) -> Scene:
+               speed_range: tuple = (3.0, 10.0),
+               radial_clutter: bool = False) -> Scene:
+    """radial_clutter=True draws ground clutter with ~1/r density around the
+    ego (uniform radius draw), matching real lidar's range falloff — used by
+    the bench's realistic-scene mode; False keeps uniform-area clutter."""
     rng = np.random.default_rng(seed)
     T = max(cfg.timesteps, 1)
     M = max_objs or cfg.assigner.max_objs
@@ -109,10 +113,19 @@ def make_scene(cfg: ExperimentConfig, n_objects: int = 12,
         pts_list.append(np.stack([world[:, 0], world[:, 1], z, inten,
                                   np.zeros(n)], -1))
 
-    clutter = np.stack([
-        rng.uniform(lo, hi, n_clutter), rng.uniform(lo, hi, n_clutter),
-        rng.uniform(-2.0, -1.8, n_clutter), rng.uniform(0, 1, n_clutter),
-        np.zeros(n_clutter)], -1)
+    if radial_clutter:
+        # uniform radius -> areal density ~ 1/r (lidar range falloff)
+        r = rng.uniform(1.0, hi, n_clutter)
+        th = rng.uniform(-np.pi, np.pi, n_clutter)
+        cx_, cy_ = r * np.cos(th), r * np.sin(th)
+        clutter = np.stack([
+            cx_, cy_, rng.uniform(-2.0, -1.6, n_clutter),
+            rng.uniform(0, 1, n_clutter), np.zeros(n_clutter)], -1)
+    else:
+        clutter = np.stack([
+            rng.uniform(lo, hi, n_clutter), rng.uniform(lo, hi, n_clutter),
+            rng.uniform(-2.0, -1.8, n_clutter), rng.uniform(0, 1, n_clutter),
+            np.zeros(n_clutter)], -1)
     pts_list.append(clutter)
     pts = np.concatenate(pts_list, 0).astype(np.float32)
 
@@ -141,6 +154,13 @@ def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
     tgts = [build_targets(cfg, s.gt_boxes, s.gt_classes, s.gt_valid,
                           s.traj_classes) for s in scenes]
     batch["targets"] = {k: jnp.stack([t[k] for t in tgts]) for k in tgts[0]}
+    if cfg.model.two_stage_refine:
+        # RoI target assignment consumes the raw t0 GT boxes (ref
+        # gt_boxes_and_cls through collate, two_stage.py:181)
+        batch["targets"]["gt_boxes"] = jnp.asarray(
+            np.stack([s.gt_boxes[0] for s in scenes]))
+        batch["targets"]["gt_valid"] = jnp.asarray(
+            np.stack([s.gt_valid[0] for s in scenes]))
     if cfg.model.head.bev_map:
         # synthetic scenes carry no HD map; the rasterized ego-map branch
         # (ref nusc_common.py:508-509) gets a zero canvas

@@ -51,14 +51,18 @@ class PointPillarsDetector(nn.Module):
     canvas_sharding: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, points, points_valid, bev_map=None, train: bool = False):
+    def __call__(self, points, points_valid, bev_map=None, train: bool = False,
+                 return_bev: bool = False):
         c = self.cfg
         gx, gy, _ = c.voxel.grid_size
         # sortless direct-scatter pillarization (see PillarFeatureNetDirect)
         canvas = PillarFeatureNetDirect(
             num_filters=c.model.pillar_filters,
             voxel_size=c.voxel.voxel_size[:2], pc_range=c.voxel.pc_range,
-            grid_hw=(gy, gx), axis_name=self.axis_name,
+            grid_hw=(gy, gx),
+            pad_floor_cap=(c.voxel.max_points_per_voxel
+                           if c.model.pfn_pad_floor else 0),
+            axis_name=self.axis_name,
             name="reader")(points, points_valid, train)
         if self.canvas_sharding is not None:
             # XLA SPMD propagates this through the conv tower, inserting
@@ -73,8 +77,11 @@ class PointPillarsDetector(nn.Module):
                 us_filters=c.model.rpn.us_filters,
                 axis_name=self.axis_name, name="neck")(canvas, train)
 
-        return CenterHead(cfg=c.model.head, axis_name=self.axis_name,
-                          name="head")(x, bev_map=bev_map, train=train)
+        preds = CenterHead(cfg=c.model.head, axis_name=self.axis_name,
+                           name="head")(x, bev_map=bev_map, train=train)
+        # return_bev: expose the neck output for second-stage BEV pooling
+        # (ref two_stage.py:170-173 passes bev_feature to the RoI modules)
+        return (preds, x) if return_bev else preds
 
 
 class VoxelNetDetector(nn.Module):
@@ -86,13 +93,15 @@ class VoxelNetDetector(nn.Module):
     canvas_sharding: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, points, points_valid, bev_map=None, train: bool = False):
+    def __call__(self, points, points_valid, bev_map=None, train: bool = False,
+                 return_bev: bool = False):
         from ..ops.voxelize import voxelize_mean
         from .middle import SparseMiddleEncoder
 
         c = self.cfg
         if c.model.middle != "sparse":
-            return self._dense_path(points, points_valid, bev_map, train)
+            return self._dense_path(points, points_valid, bev_map, train,
+                                    return_bev)
         B = points.shape[0]
         max_v = c.voxel.max_voxels_train if train else c.voxel.max_voxels_eval
         gx, gy, gz = c.voxel.grid_size
@@ -154,10 +163,12 @@ class VoxelNetDetector(nn.Module):
                 us_strides=c.model.rpn.us_strides,
                 us_filters=c.model.rpn.us_filters,
                 axis_name=self.axis_name, name="neck")(x, train)
-        return CenterHead(cfg=c.model.head, axis_name=self.axis_name,
-                          name="head")(x, bev_map=bev_map, train=train)
+        preds = CenterHead(cfg=c.model.head, axis_name=self.axis_name,
+                           name="head")(x, bev_map=bev_map, train=train)
+        return (preds, x) if return_bev else preds
 
-    def _dense_path(self, points, points_valid, bev_map, train):
+    def _dense_path(self, points, points_valid, bev_map, train,
+                    return_bev=False):
         c = self.cfg
         B = points.shape[0]
         max_v = c.voxel.max_voxels_train if train else c.voxel.max_voxels_eval
@@ -205,14 +216,26 @@ class VoxelNetDetector(nn.Module):
                 us_filters=c.model.rpn.us_filters,
                 axis_name=self.axis_name, name="neck")(x, train)
 
-        return CenterHead(cfg=c.model.head, axis_name=self.axis_name,
-                          name="head")(x, bev_map=bev_map, train=train)
+        preds = CenterHead(cfg=c.model.head, axis_name=self.axis_name,
+                           name="head")(x, bev_map=bev_map, train=train)
+        return (preds, x) if return_bev else preds
 
 
 def build_detector(cfg: ExperimentConfig, axis_name: Optional[str] = None,
                    canvas_sharding=None):
+    if cfg.model.two_stage_refine:
+        from .two_stage import TwoStageDetector
+        return TwoStageDetector(cfg=cfg, axis_name=axis_name,
+                                canvas_sharding=canvas_sharding)
+    return build_single_stage(cfg, axis_name, canvas_sharding)
+
+
+def build_single_stage(cfg: ExperimentConfig,
+                       axis_name: Optional[str] = None,
+                       canvas_sharding=None, name: Optional[str] = None):
+    kw = {} if name is None else {"name": name}
     if cfg.model.detector == "pointpillars":
         return PointPillarsDetector(cfg=cfg, axis_name=axis_name,
-                                    canvas_sharding=canvas_sharding)
+                                    canvas_sharding=canvas_sharding, **kw)
     return VoxelNetDetector(cfg=cfg, axis_name=axis_name,
-                            canvas_sharding=canvas_sharding)
+                            canvas_sharding=canvas_sharding, **kw)

@@ -25,8 +25,14 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # explicit symmetric padding (k-1)//2: identical to SAME at stride 1
+        # and torch-aligned at stride 2 (torch ZeroPad2d(1)+conv3x3s2 starts
+        # its first window at -1; XLA SAME would start it at 0) — required
+        # for numerical parity with converted reference checkpoints
+        p = (self.kernel - 1) // 2
         x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), padding="SAME",
+                    strides=(self.stride, self.stride),
+                    padding=((p, p), (p, p)),
                     use_bias=self.use_bias)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, axis_name=self.axis_name)(x)

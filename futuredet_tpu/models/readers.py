@@ -126,11 +126,19 @@ class PillarFeatureNetDirect(nn.Module):
     center offset) and max pooling; the reference's max_points_in_voxel
     truncation is dropped — with max pooling it only ever removed
     information.
+
+    pad_floor_cap: reference-checkpoint parity quirk. The reference's padded
+    zero rows pass through BN+ReLU and JOIN the per-pillar max
+    (pillar_encoder.py:139-151 masks before the linear, not before the max),
+    so every pillar with fewer than max_points_per_voxel points sees
+    relu(bn(0)) as an elementwise floor. Set to the reference's
+    max_points_per_voxel to reproduce that; 0 disables (pure max).
     """
     num_filters: Tuple[int, ...] = (64,)
     voxel_size: Tuple[float, float] = (0.2, 0.2)
     pc_range: Tuple[float, ...] = (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0)
     grid_hw: Tuple[int, int] = (512, 512)
+    pad_floor_cap: int = 0
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -163,17 +171,36 @@ class PillarFeatureNetDirect(nn.Module):
         f_center = jnp.stack([pts[:, 0] - cx, pts[:, 1] - cy], -1)
 
         x = jnp.concatenate([pts, f_cluster, f_center], -1) * w
+        floor = self.pad_floor_cap > 0
+        if floor:
+            # pillars with 0 < count < cap carry padded zero rows in the
+            # reference; a per-pillar "phantom" row traces what those padded
+            # rows become through the layer stack (layer 0: zeros; layer i>0:
+            # concat(prev phantom, pillar max)) and joins the pillar max
+            cnt_i = sums[:, 3]
+            floor_mask = ((cnt_i > 0)
+                          & (cnt_i < float(self.pad_floor_cap)))[:, None]
+            phantom = jnp.zeros((n_seg, x.shape[-1]), x.dtype)
         for i, ch in enumerate(self.num_filters):
             last = i == len(self.num_filters) - 1
             units = ch if last else ch // 2
-            x = nn.Dense(units, use_bias=False)(x)
-            x = MaskedBatchNorm(axis_name=self.axis_name)(x, ok, train=train)
-            x = nn.relu(x)
+            dense = nn.Dense(units, use_bias=False)
+            mbn = MaskedBatchNorm(axis_name=self.axis_name)
+            x = nn.relu(mbn(dense(x), ok, train=train))
             pooled = jax.ops.segment_max(
                 jnp.where(ok[:, None], x, -jnp.inf), pid, num_segments=n_seg)
             pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
+            if floor:
+                # phantom uses running BN stats: exact at eval (the parity
+                # regime), approximate during training
+                ph = nn.relu(mbn(dense(phantom),
+                                 jnp.ones((n_seg,), bool), train=False))
+                pooled = jnp.where(floor_mask,
+                                   jnp.maximum(pooled, ph), pooled)
             if not last:
                 x = jnp.concatenate([x, pooled[pid]], -1)
+                if floor:
+                    phantom = jnp.concatenate([ph, pooled], -1)
         return pooled[:B * H * W].reshape(B, H, W, -1)
 
 

@@ -85,6 +85,56 @@ class TwoStageRefiner(nn.Module):
         return refined, jax.nn.sigmoid(score)
 
 
+class TwoStageDetector(nn.Module):
+    """End-to-end two-stage detector (ref detectors/two_stage.py:9-193):
+    first stage forward -> decode + NMS proposals (stop-gradient) -> BEV
+    pooling at 5 box points -> RoI refinement.
+
+    Returns (first_stage_preds, proposals: Detections, roi dict). The final
+    detection score is sqrt(sigmoid(iou_logit) * stage1_score) (ref
+    post_process :139).
+    """
+    cfg: ExperimentConfig
+    axis_name: str | None = None
+    canvas_sharding: object = None
+
+    @nn.compact
+    def __call__(self, points, points_valid, bev_map=None,
+                 train: bool = False):
+        from ..eval.decode import decode_and_nms
+        from .detector import build_single_stage
+
+        first = build_single_stage(self.cfg, self.axis_name,
+                                   self.canvas_sharding, name="first_stage")
+        preds, bev = first(points, points_valid, bev_map=bev_map,
+                           train=train, return_bev=True)
+        det = decode_and_nms(self.cfg, preds)
+        # proposals feed the RoI head but carry no gradient back into the
+        # first stage (ref: the frozen first stage / detached predict path)
+        boxes = jax.lax.stop_gradient(det.boxes)
+        pooled = jax.vmap(lambda m, b: pool_bev_features(m, b, self.cfg))(
+            jax.lax.stop_gradient(bev) if train else bev, boxes)
+        logits, resid = RoIHead(name="roi_head")(pooled, train)
+        refined = boxes.at[..., :3].add(resid[..., :3])
+        refined = refined.at[..., 3:6].multiply(
+            jnp.exp(jnp.clip(resid[..., 3:6], -4.0, 4.0)))
+        refined = refined.at[..., 8].add(resid[..., 6])
+        # ref post_process :139: score = sqrt(sigmoid(iou) * roi_score)
+        score = jnp.sqrt(jnp.clip(jax.nn.sigmoid(logits) * det.scores,
+                                  1e-12, None))
+        roi = {"logits": logits, "resid": resid, "boxes": refined,
+               "scores": jnp.where(det.valid, score, 0.0)}
+        return preds, det, roi
+
+
+def refined_detections(det, roi):
+    """Assemble the final Detections from the RoI outputs (ref
+    post_process :120-155: refined boxes, fused scores, stage-1 labels)."""
+    from ..eval.decode import Detections
+    return Detections(boxes=roi["boxes"], scores=roi["scores"],
+                      labels=det.labels, valid=det.valid)
+
+
 def proposal_targets(proposals, gt_boxes, gt_valid, *,
                      fg_iou: float = 0.55, bg_iou: float = 0.25):
     """IoU-based proposal target assignment (capability port of
@@ -143,11 +193,43 @@ def two_stage_loss(score_logits, resid, proposals, gt_boxes, gt_valid,
             "loss": cls_loss + reg_loss}
 
 
+def adopt_first_stage(two_stage_tree, first_stage_tree):
+    """Graft a trained single-stage param (or batch_stats) tree under the
+    two-stage model's 'first_stage' scope (ref TwoStageDetector.__init__
+    builds the first stage from its own checkpointed config, two_stage.py:21).
+
+    Merge is strict=False like the reference's load_state_dict
+    (torchie/trainer/checkpoint.py): leaves present in the checkpoint
+    overwrite; leaves the two-stage head adds (e.g. the shared
+    two_stage_forecast_conv, built only when head.two_stage=True) keep
+    their fresh init. The RoI head keeps its fresh init."""
+    def merge(dst, src):
+        out = {}
+        for k, v in dst.items():
+            if k in src and isinstance(v, dict):
+                out[k] = merge(v, src[k])
+            elif k in src:
+                assert jnp.shape(v) == jnp.shape(src[k]), (k, jnp.shape(v),
+                                                           jnp.shape(src[k]))
+                out[k] = src[k]
+            else:
+                out[k] = v
+        return out
+
+    out = dict(two_stage_tree)
+    assert "first_stage" in out, sorted(out)
+    out["first_stage"] = merge(dict(out["first_stage"]),
+                               dict(first_stage_tree))
+    return out
+
+
 def two_stage_trainable_mask(params) -> dict:
-    """Trainable mask for the TWO_STAGE schedule: only vel/rot branches train
-    (ref apis/train.py:353-356 freezes everything else)."""
+    """Trainable mask for the TWO_STAGE schedule: only vel/rot branches and
+    the RoI head train (ref apis/train.py:353-356 freezes everything else;
+    the roi_head is new in stage two and always trains)."""
     def mask(path, leaf):
         keys = "/".join(str(p.key) for p in path if hasattr(p, "key"))
         return ("vel_" in keys or "rot_" in keys
-                or "/vel" in keys or "/rot" in keys)
+                or "/vel" in keys or "/rot" in keys
+                or "roi_head" in keys)
     return jax.tree_util.tree_map_with_path(mask, params)

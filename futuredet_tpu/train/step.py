@@ -103,12 +103,28 @@ def make_train_step(cfg: ExperimentConfig, mesh: Mesh, total_steps: int):
 
     def local_step(state: TrainState, batch):
         def loss_fn(params):
-            preds, mut = model.apply(
+            out, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["points"], batch["points_valid"],
                 bev_map=batch.get("bev_map"), train=True,
                 mutable=["batch_stats"])
-            losses = center_head_loss(cfg.model.head, preds, batch["targets"])
+            if cfg.model.two_stage_refine:
+                # ref combine_loss (two_stage.py:40-46): one-stage loss +
+                # RoI loss on decoded proposals
+                from ..models.two_stage import two_stage_loss
+                preds, det, roi = out
+                losses = center_head_loss(cfg.model.head, preds,
+                                          batch["targets"])
+                rl = two_stage_loss(
+                    roi["logits"], roi["resid"], det.boxes,
+                    batch["targets"]["gt_boxes"],
+                    batch["targets"]["gt_valid"], det.valid)
+                losses = dict(losses, roi_cls_loss=rl["roi_cls_loss"],
+                              roi_reg_loss=rl["roi_reg_loss"],
+                              loss=losses["loss"] + rl["loss"])
+            else:
+                losses = center_head_loss(cfg.model.head, out,
+                                          batch["targets"])
             return losses["loss"], (losses, mut["batch_stats"])
 
         tx = make_optimizer(cfg, total_steps, state.params)
@@ -128,6 +144,10 @@ def make_train_step(cfg: ExperimentConfig, mesh: Mesh, total_steps: int):
                    "loc_loss": losses["loc_loss"] if single
                    else jax.lax.pmean(losses["loc_loss"], DATA_AXIS),
                    "grad_norm": optax.global_norm(grads)}
+        for k in ("roi_cls_loss", "roi_reg_loss"):
+            if k in losses:
+                metrics[k] = losses[k] if single \
+                    else jax.lax.pmean(losses[k], DATA_AXIS)
         return TrainState(step=state.step + 1, params=new_params,
                           batch_stats=new_bs, opt_state=new_opt), metrics
 
@@ -158,11 +178,12 @@ def _make_train_step_gspmd(cfg: ExperimentConfig, mesh: Mesh,
 
     def step(state: TrainState, batch):
         def loss_fn(params):
-            preds, mut = model.apply(
+            out, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["points"], batch["points_valid"],
                 bev_map=batch.get("bev_map"), train=True,
                 mutable=["batch_stats"])
+            preds = out[0] if cfg.model.two_stage_refine else out
             # per-sample loss normalization, then batch mean: identical
             # objective to the shard_map dp path / the reference's DDP with
             # bs=1 per GPU (loss mask counts never cross samples)
@@ -173,6 +194,16 @@ def _make_train_step_gspmd(cfg: ExperimentConfig, mesh: Mesh,
                     jax.tree.map(lambda x: x[None], tg)))(
                 preds, batch["targets"])
             losses = jax.tree.map(lambda x: jnp.mean(x, axis=0), losses)
+            if cfg.model.two_stage_refine:
+                from ..models.two_stage import two_stage_loss
+                _, det, roi = out
+                rl = two_stage_loss(
+                    roi["logits"], roi["resid"], det.boxes,
+                    batch["targets"]["gt_boxes"],
+                    batch["targets"]["gt_valid"], det.valid)
+                losses = dict(losses, roi_cls_loss=rl["roi_cls_loss"],
+                              roi_reg_loss=rl["roi_reg_loss"],
+                              loss=losses["loss"] + rl["loss"])
             return losses["loss"], (losses, mut["batch_stats"])
 
         tx = make_optimizer(cfg, total_steps, state.params)
@@ -183,6 +214,9 @@ def _make_train_step_gspmd(cfg: ExperimentConfig, mesh: Mesh,
         metrics = {"loss": loss, "hm_loss": losses["hm_loss"],
                    "loc_loss": losses["loc_loss"],
                    "grad_norm": optax.global_norm(grads)}
+        for k in ("roi_cls_loss", "roi_reg_loss"):
+            if k in losses:
+                metrics[k] = losses[k]
         return TrainState(step=state.step + 1, params=new_params,
                           batch_stats=new_bs, opt_state=new_opt), metrics
 

@@ -118,6 +118,7 @@ def train(cfg: ExperimentConfig, batches: Iterable[dict], *,
           val_fn: Optional[Callable[[TrainState], dict]] = None,
           prefetch_depth: int = 2,
           hooks: Optional[list] = None,
+          init_transform: Optional[Callable[[TrainState], TrainState]] = None,
           log_fn: Callable[[str], None] = log.info) -> TrainState:
     """Run the full schedule over `batches` (an infinite batch iterator whose
     leaves lead with the global batch dim)."""
@@ -139,6 +140,11 @@ def train(cfg: ExperimentConfig, batches: Iterable[dict], *,
         mesh = make_mesh(n_devices)
     state = init_state(cfg, jax.random.PRNGKey(cfg.train.seed),
                        jax.tree.map(lambda x: x[:1], first), total_steps)
+    if init_transform is not None:
+        # e.g. graft a trained first-stage checkpoint into a two-stage model
+        # (ref TwoStageDetector builds its first stage from a checkpointed
+        # config, detectors/two_stage.py:21-27)
+        state = init_transform(state)
     step_fn = make_train_step(cfg, mesh, total_steps)
 
     ckpt = CheckpointManager(work_dir) if work_dir else None

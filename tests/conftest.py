@@ -41,6 +41,7 @@ SLOW_MODULES = {
     "test_cli", "test_trainer", "test_train_step", "test_spatial_sharding",
     "test_e2e_eval", "test_multitask", "test_models", "test_longtail",
     "test_tools", "test_pallas_gather", "test_dense_middle",
+    "test_two_stage_e2e",
 }
 
 
