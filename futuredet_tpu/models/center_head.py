@@ -88,6 +88,63 @@ class SepHead(nn.Module):
         return out
 
 
+class FeatureAdaption(nn.Module):
+    """DCN v1 feature adaption (ref center_head.py:40-79): a 1x1 conv
+    (zero-init) predicts per-tap offsets for a 3x3 deformable conv."""
+    out_channels: int
+    deformable_groups: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.deform import deform_conv2d
+        G, K = self.deformable_groups, 9
+        offsets = nn.Conv(G * 2 * K, (1, 1),
+                          kernel_init=nn.initializers.zeros,
+                          name="conv_offset")(x)
+        w = self.param("adapt_kernel", nn.initializers.he_uniform(),
+                       (K, x.shape[-1], self.out_channels))
+        return nn.relu(deform_conv2d(x, offsets, w,
+                                     deformable_groups=G))
+
+
+class DCNSepHead(nn.Module):
+    """SepHead variant with deformable feature adaption: separate DCN
+    branches for classification and regression (ref center_head.py:176-228).
+    """
+    heads: Tuple[Tuple[str, Tuple[int, int]], ...]  # excludes hm
+    num_cls: int
+    head_conv: int = 64
+    final_kernel: int = 3
+    init_bias: float = -2.19
+    in_channels: int = 64
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        center_feat = FeatureAdaption(x.shape[-1],
+                                      name="feature_adapt_cls")(x)
+        reg_feat = FeatureAdaption(x.shape[-1],
+                                   name="feature_adapt_reg")(x)
+        # heatmap branch (ref :206-214)
+        h = nn.Conv(self.head_conv, (3, 3), padding="SAME",
+                    name="cls_conv")(center_feat)
+        h = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, axis_name=self.axis_name,
+                         name="cls_bn")(h)
+        h = nn.relu(h)
+        hm = nn.Conv(self.num_cls, (3, 3), padding="SAME",
+                     bias_init=_final_conv_bias(self.init_bias),
+                     name="cls_final")(h)
+        out = SepHead(heads=self.heads, head_conv=self.head_conv,
+                      final_kernel=self.final_kernel,
+                      init_bias=self.init_bias,
+                      in_channels=self.in_channels,
+                      axis_name=self.axis_name,
+                      name="task_head")(reg_feat, train)
+        out["hm"] = hm
+        return out
+
+
 class CenterHead(nn.Module):
     cfg: HeadConfig
     axis_name: Optional[str] = None
@@ -130,6 +187,15 @@ class CenterHead(nn.Module):
             else:
                 inp = x
                 in_ch = share
+            if c.dcn_head:
+                # DCN path excludes hm from the branch dict — the cls_head
+                # predicts it from the adapted features (ref :357-372)
+                rets.append(DCNSepHead(
+                    heads=tuple(h for h in heads if h[0] != "hm"),
+                    num_cls=c.num_classes[i], head_conv=share,
+                    final_kernel=3, init_bias=c.init_bias, in_channels=in_ch,
+                    axis_name=self.axis_name, name=f"task{i}")(inp, train))
+                continue
             rets.append(SepHead(
                 heads=heads, head_conv=share, final_kernel=3,
                 init_bias=c.init_bias, forecast_feature=c.forecast_feature,

@@ -49,6 +49,43 @@ def test_deform_conv_fractional_offset_interpolates():
     np.testing.assert_allclose(out[0, 2, 2], 2.0, atol=1e-5)  # (1+3)/2
 
 
+def test_dcn_sep_head_forward_and_grad():
+    """dcn_head=True builds the DCNSepHead variant (ref center_head.py:
+    176-228,317-318): forward produces every branch incl. hm from the
+    adapted features, and gradients flow to the offset conv."""
+    import dataclasses
+    from futuredet_tpu.models.center_head import CenterHead
+
+    cfg = tiny_cfg(1, False, False)
+    head = dataclasses.replace(cfg.model.head, dcn_head=True,
+                               in_channels=32, share_conv_channel=16)
+    mod = CenterHead(cfg=head)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 8, 8, 32)).astype(np.float32))
+    variables = mod.init(jax.random.PRNGKey(0), x, train=False)
+    preds = mod.apply(variables, x, train=False)
+    assert len(preds) == 1
+    for k in ("hm", "reg", "height", "dim", "rot", "vel"):
+        assert preds[0][k].shape[:3] == (1, 8, 8), k
+    # offset conv zero-init -> taps at integer positions; hm bias init
+    assert np.allclose(np.asarray(
+        variables["params"]["task0"]["feature_adapt_cls"]["conv_offset"]
+        ["kernel"]), 0.0)
+    assert np.allclose(np.asarray(preds[0]["hm"]).mean(), -2.19, atol=0.5)
+
+    def loss(params):
+        out = mod.apply({"params": params,
+                         "batch_stats": variables["batch_stats"]}, x,
+                        train=False)
+        return sum(jnp.sum(v ** 2) for v in out[0].values())
+
+    grads = jax.grad(loss)(variables["params"])
+    g_off = grads["task0"]["feature_adapt_cls"]["conv_offset"]["kernel"]
+    assert np.isfinite(np.asarray(g_off)).all()
+    g_adapt = grads["task0"]["feature_adapt_reg"]["adapt_kernel"]
+    assert float(jnp.abs(g_adapt).sum()) > 0
+
+
 def test_two_stage_refiner_and_freeze_mask():
     from futuredet_tpu.models.two_stage import (TwoStageRefiner,
                                                 two_stage_trainable_mask)
