@@ -113,6 +113,8 @@ def main():
         mupd["middle_dense_from_stage"] = int(os.environ["BENCH_DENSE_FROM"])
     if os.environ.get("BENCH_DENSE_DTYPE"):
         mupd["middle_dense_dtype"] = os.environ["BENCH_DENSE_DTYPE"]
+    if os.environ.get("BENCH_PFN_FLOOR"):
+        mupd["pfn_pad_floor"] = os.environ["BENCH_PFN_FLOOR"] != "0"
     if mupd:
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, **mupd))
     model = build_detector(cfg)
@@ -154,16 +156,39 @@ def main():
     t0 = time.perf_counter()
     n_det = jax.device_get(infer_chain(variables, pts, valid))
     dt = (time.perf_counter() - t0) / iters
-
-    watchdog.cancel()
     samples_per_sec = B / dt
     sweeps_per_sec = samples_per_sec * NSWEEPS
-    print(json.dumps({
+
+    # realistic clustered-scene mode (VERDICT r1): object-surface hits +
+    # 1/r-density ground clutter (real lidar concentrates returns near ego,
+    # changing voxel occupancy / pillar density / NMS load vs the uniform
+    # cloud above). Same compiled program — only the input changes.
+    realistic = None
+    if os.environ.get("BENCH_REALISTIC", "1") != "0":
+        from futuredet_tpu.data.synthetic import make_scene
+        scenes = [make_scene(cfg, n_objects=48, points_per_object=500,
+                             n_clutter=P, seed=7 + i, max_objs=500,
+                             radial_clutter=True) for i in range(B)]
+        rpts = jnp.asarray(np.stack([s.points for s in scenes]))
+        rvalid = jnp.asarray(np.stack([s.points_valid for s in scenes]))
+        _ = jax.device_get(infer_chain(variables, rpts, rvalid))
+        t0 = time.perf_counter()
+        _ = jax.device_get(infer_chain(variables, rpts, rvalid))
+        rdt = (time.perf_counter() - t0) / iters
+        realistic = B / rdt * NSWEEPS
+
+    watchdog.cancel()
+    out = {
         "metric": "e2e_inference_sweeps_per_sec_per_chip",
         "value": round(sweeps_per_sec, 2),
         "unit": "sweeps/s",
         "vs_baseline": round(sweeps_per_sec / TARGET_SWEEPS_PER_SEC, 3),
-    }))
+    }
+    if realistic is not None:
+        out["value_realistic_scene"] = round(realistic, 2)
+        out["realistic_vs_baseline"] = round(
+            realistic / TARGET_SWEEPS_PER_SEC, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

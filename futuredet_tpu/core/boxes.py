@@ -44,6 +44,61 @@ def center_to_corner_box2d(centers, dims, angles):
     return corners + centers[:, None, :]
 
 
+def box_collision_test(corners: np.ndarray, qcorners: np.ndarray
+                       ) -> np.ndarray:
+    """Vectorized numpy port of the reference's GT-AUG collision test
+    (`det3d/core/sampler/preprocess.py:882-967`, numba): (N, 4, 2) vs
+    (K, 4, 2) BEV corner sets -> (N, K) bool.
+
+    collision = standup-box overlap AND (any edge pair strictly crosses OR
+    one box strictly contains ALL of the other's corners). All comparisons
+    strict, matching the reference's `>` / `>= 0` branches (touching
+    boundaries do NOT collide).
+    """
+    corners = np.asarray(corners, np.float64)
+    qcorners = np.asarray(qcorners, np.float64)
+    N, K = len(corners), len(qcorners)
+    if N == 0 or K == 0:
+        return np.zeros((N, K), bool)
+    sl = [1, 2, 3, 0]
+
+    # standup gate
+    blo, bhi = corners.min(1), corners.max(1)            # (N, 2)
+    qlo, qhi = qcorners.min(1), qcorners.max(1)          # (K, 2)
+    iw = (np.minimum(bhi[:, None, 0], qhi[None, :, 0])
+          - np.maximum(blo[:, None, 0], qlo[None, :, 0])) > 0
+    ih = (np.minimum(bhi[:, None, 1], qhi[None, :, 1])
+          - np.maximum(blo[:, None, 1], qlo[None, :, 1])) > 0
+    gate = iw & ih
+
+    # segment crossings: edges (A->B) of boxes vs (C->D) of qboxes
+    A = corners[:, None, :, None, :]                     # (N,1,4,1,2)
+    B = corners[:, sl][:, None, :, None, :]
+    C = qcorners[None, :, None, :, :]                    # (1,K,1,4,2)
+    D = qcorners[:, sl][None, :, None, :, :]
+
+    def ccw(p, q, r):   # (r - p) x (q - p) > 0 in the reference's form
+        return ((r[..., 1] - p[..., 1]) * (q[..., 0] - p[..., 0])
+                > (q[..., 1] - p[..., 1]) * (r[..., 0] - p[..., 0]))
+
+    acd, bcd = ccw(A, C, D), ccw(B, C, D)
+    abc, abd = ccw(A, B, C), ccw(A, B, D)
+    seg = ((acd != bcd) & (abc != abd)).any((-1, -2))    # (N, K)
+
+    def contains(c1, c2):
+        """(n,4,2) boxes strictly contain ALL corners of (k,4,2) boxes.
+        clockwise=True: vec = -(corner_k - corner_{k+1}); inside needs
+        cross < 0 for every edge/corner pair (ref :935-945)."""
+        vec = -(c1 - c1[:, sl])                          # (n, 4, 2)
+        dx = c1[:, None, :, None, 0] - c2[None, :, None, :, 0]
+        dy = c1[:, None, :, None, 1] - c2[None, :, None, :, 1]
+        cross = vec[:, None, :, None, 1] * dx - vec[:, None, :, None, 0] * dy
+        return (cross < 0).all((-1, -2))                 # (n, k)
+
+    return gate & (seg | contains(corners, qcorners)
+                   | contains(qcorners, corners).T)
+
+
 def box_area_bev(boxes):
     """boxes (N, >=5) [x,y,(z),w,l,...] — BEV area w*l given layout [...,3]=w,[...,4]=l."""
     return boxes[:, 3] * boxes[:, 4]
@@ -71,14 +126,24 @@ def points_in_rbbox(points, boxes, z_axis: bool = True):
 
 
 def filter_boxes_outside_range(boxes, bv_range):
-    """Mask of boxes whose center xy is inside [xmin,ymin,xmax,ymax].
+    """Keep mask of boxes with ANY BEV corner inside [xmin,ymin,xmax,ymax]
+    (ref prep.filter_gt_box_outside_range, core/sampler/preprocess.py:
+    113-127, consumed by Voxelization at pipelines/preprocess.py:249-254).
 
-    ref: prep.filter_gt_box_outside_range keeps boxes with any corner in range;
-    we use the stricter/simpler center criterion used by Voxelization's range
-    filter in practice (centers dominate; parity-tested on synthetic data).
+    The reference computes corners from dims (w, l) and the LAST box column
+    as the angle — for 12-column forecast boxes that is rrot, a quirk
+    preserved here. Boxes narrower than the grid edge with only the center
+    inside are kept either way; the corner test additionally keeps boxes
+    whose center is just outside the range (range-edge GT count parity).
     """
-    return ((boxes[:, 0] >= bv_range[0]) & (boxes[:, 0] <= bv_range[2])
-            & (boxes[:, 1] >= bv_range[1]) & (boxes[:, 1] <= bv_range[3]))
+    boxes = jnp.asarray(boxes)
+    corners = center_to_corner_box2d(boxes[:, :2], boxes[:, 3:5],
+                                     boxes[:, -1])          # (N, 4, 2)
+    inside = ((corners[..., 0] >= bv_range[0])
+              & (corners[..., 0] <= bv_range[2])
+              & (corners[..., 1] >= bv_range[1])
+              & (corners[..., 1] <= bv_range[3]))
+    return jnp.any(inside, axis=1)
 
 
 # ---------------------------------------------------------------------------

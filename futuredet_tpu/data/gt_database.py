@@ -25,7 +25,6 @@ from typing import Dict
 import numpy as np
 
 from ..config import ExperimentConfig
-from ..ops.nms import iou_bev_np
 
 
 def _points_in_box_np(points, box):
@@ -106,6 +105,20 @@ def build_db_sampler(cfg: ExperimentConfig, info_path: str,
                            sampler_type=cfg.data.sampler_type, seed=seed)
 
 
+def _corners_bev(boxes: np.ndarray, rot_col: int) -> np.ndarray:
+    """(N, 12) boxes -> (N, 4, 2) BEV corners, numpy (host pipeline).
+    Mirrors ref box_np_ops.center_to_corner_box2d (corners_nd order +
+    right-multiplied rotation)."""
+    if len(boxes) == 0:
+        return np.zeros((0, 4, 2))
+    norm = np.array([[-0.5, -0.5], [-0.5, 0.5], [0.5, 0.5], [0.5, -0.5]])
+    corners = boxes[:, None, 3:5] * norm[None]            # (N, 4, 2)
+    ang = boxes[:, rot_col]
+    c, s = np.cos(ang), np.sin(ang)
+    rot = np.stack([np.stack([c, -s], -1), np.stack([s, c], -1)], -2)
+    return np.einsum("nkj,njm->nkm", corners, rot) + boxes[:, None, :2]
+
+
 class _Pool:
     """Epoch-shuffled sampling pool (ref BatchSampler, preprocess.py:19-55)."""
 
@@ -161,20 +174,31 @@ class DataBaseSampler:
         if not picked:
             return None
 
-        exist = [b for b in gt_boxes_t0]
+        # joint collision matrix over [existing gt, candidates] with
+        # sequential accept/reject — rejected candidates drop out of the
+        # matrix so they never block later ones (ref sample_class_v2,
+        # sample_ops.py:306-351, backed by the numba box_collision_test
+        # ported in core.boxes). Angle columns mirror the reference exactly:
+        # gt corners from column -2 (rot) and candidate corners from column
+        # -1 — which for the 12-column forecast boxes is rrot, a reference
+        # quirk preserved for parity.
+        from ..core.boxes import box_collision_test
+        num_gt = len(gt_boxes_t0)
+        sp = np.stack([np.asarray(it["box3d_lidar"][0], np.float64)
+                       for it in picked])
+        gt_bv = _corners_bev(np.asarray(gt_boxes_t0, np.float64), -2) \
+            if num_gt else np.zeros((0, 4, 2))
+        sp_bv = _corners_bev(sp, -1)
+        total = np.concatenate([gt_bv, sp_bv], 0)
+        coll = box_collision_test(total, total)
+        np.fill_diagonal(coll, False)
         kept = []
-        for it in picked:
-            b = it["box3d_lidar"][0]
-            cand = np.array([b[0], b[1], b[3], b[4], -b[10] - np.pi / 2])
-            collide = False
-            for e in exist:
-                other = np.array([e[0], e[1], e[3], e[4], -e[10] - np.pi / 2])
-                if iou_bev_np(cand, other) > 0.0:
-                    collide = True
-                    break
-            if not collide:
-                kept.append(it)
-                exist.append(b)
+        for i in range(num_gt, num_gt + len(picked)):
+            if coll[i].any():
+                coll[i] = False
+                coll[:, i] = False
+            else:
+                kept.append(picked[i - num_gt])
         if not kept:
             return None
 

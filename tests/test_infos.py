@@ -174,13 +174,19 @@ def test_create_data_then_dataset_then_gtaug(tmp_path):
     assert len(out["points"]) > 0
     assert set(out["gt_trajectory"]) <= {"static", "linear"}
 
-    # scene already containing one of the boxes -> collision rejects overlaps
+    # scene already containing one of the boxes -> collision rejects overlaps.
+    # EXCEPTION faithful to the reference: an EXACTLY coincident duplicate
+    # (the same DB object re-pasted at its stored pose) has all edge pairs
+    # collinear, so the strict segment/containment tests of
+    # box_collision_test (ref preprocess.py:882-967) report NO collision —
+    # the reference pastes such duplicates too.
     out2 = sampler.sample_all(out["gt_boxes"][:, 0])
     if out2 is not None:
         for b in out2["gt_boxes"][:, 0]:
             for e in out["gt_boxes"][:, 0]:
                 d = np.linalg.norm(b[:2] - e[:2])
-                assert d > 1.0, "pasted box overlaps existing"
+                assert d > 1.0 or d < 1e-5, \
+                    "pasted box partially overlaps existing"
 
 
 def test_dataset_with_gtaug_sampler(tmp_path):

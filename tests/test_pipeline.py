@@ -50,6 +50,64 @@ def _mk_infos(tmp_path, n_samples=3, n_sweeps=2, timesteps=7):
     return str(p)
 
 
+def test_cbgs_resampling_duplication_ratios():
+    """CBGS oracle (ref nuscenes.py:556-597): each class pool contributes
+    int(len(pool) * ratio) = int(dup / num_classes) resampled infos, drawn
+    with replacement from that pool, regardless of class imbalance."""
+    import dataclasses
+    cfg = tiny_cfg(1, False, False)
+    cfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, class_names=("car", "pedestrian")))
+
+    def info(names):
+        return {"gt_names": np.array([[n] for n in names], object),
+                "id": object()}
+
+    infos = ([info(["car"])] * 30 + [info(["pedestrian"])] * 10
+             + [info(["car", "pedestrian"])] * 4)
+    # pools: car 34, ped 14 -> dup 48; per-class quota = int(len * ratio)
+    # with ratio = (1/C) / (len/dup), evaluated in float exactly like the
+    # reference (34 * 48/(2*34) = 23.999... -> 23)
+    pools = {"car": 34, "pedestrian": 14}
+    dup = sum(pools.values())
+    quota = {k: int(v * ((1.0 / len(pools)) / (v / dup)))
+             for k, v in pools.items()}
+    ds = PL.NuScenesForecastDataset.__new__(PL.NuScenesForecastDataset)
+    ds.cfg = cfg
+    ds.rng = np.random.default_rng(0)
+    out = ds._resample(infos)
+    assert len(out) == sum(quota.values())
+    # membership: at least the quota of each class present (duplicates ok)
+    n_car = sum(1 for i in out
+                if "car" in np.asarray(i["gt_names"])[:, 0])
+    n_ped = sum(1 for i in out
+                if "pedestrian" in np.asarray(i["gt_names"])[:, 0])
+    assert n_car >= quota["car"] and n_ped >= quota["pedestrian"]
+    # with-replacement draw: duplicates of single infos are expected for the
+    # minority class (quota 24 > pool 14)
+    ped_ids = [id(i) for i in out
+               if "pedestrian" in np.asarray(i["gt_names"])[:, 0]]
+    assert len(set(ped_ids)) < len(ped_ids)
+
+
+def test_pack_gt_range_filter_any_corner():
+    """Boxes whose center is outside the range but a corner reaches in are
+    kept (ref filter_gt_box_outside_range any-corner semantics); boxes fully
+    outside are dropped."""
+    cfg = tiny_cfg(1, False, False)   # pc_range ±8
+    boxes = np.zeros((3, 1, 12), np.float32)
+    boxes[:, :, 3:6] = [4.0, 2.0, 1.5]  # w=4 -> x half-extent 2 at rot 0
+    boxes[0, 0, :2] = (0.0, 0.0)      # inside
+    boxes[1, 0, :2] = (9.5, 0.0)      # center out, corner at 9.5-2=7.5 in
+    boxes[2, 0, :2] = (12.0, 0.0)     # fully outside (corner at 10)
+    names = np.full((3, 1), "car")
+    traj = np.full((3, 1), "static")
+    _, _, valid, _, idx = PL.pack_gt(cfg, boxes, names, traj,
+                                     cfg.data.class_names)
+    assert list(idx) == [0, 1]
+    assert valid[0].sum() == 2
+
+
 def test_dataset_reads_infos_and_packs(tmp_path):
     cfg = tiny_cfg(7, True, True)
     info_path = _mk_infos(tmp_path)
