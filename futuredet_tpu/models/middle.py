@@ -30,8 +30,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.sparse_conv import (_dense_index_rows, downsample_coords,
-                               make_grid, neighbor_table, scatter_dense,
+from ..ops.sparse_conv import (_dense_index_rows, _dense_rows_ov,
+                               downsample_coords, make_grid, neighbor_table,
+                               scatter_dense, strided_xpack_tables,
+                               subm_xpack_tables,
                                strided_gather_table, strided_inverse_table,
                                subm_conv_apply)
 from .readers import MaskedBatchNorm
@@ -56,7 +58,8 @@ class SparseConv(nn.Module):
 
     @nn.compact
     def __call__(self, feats, table, inverse_table=None):
-        K = table.shape[0]
+        # x-packed tables arrive as a (table9, adj, valid) tuple
+        K = 27 if isinstance(table, tuple) else table.shape[0]
         cin = feats.shape[-1]
         w = self.param("kernel", _kernel_init, (K, cin, self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,)) \
@@ -182,10 +185,31 @@ class SparseMiddleEncoder(nn.Module):
                        if self.dense_from_stage is not None else 4)
         # the Pallas windowed gather has no AD rule — training always takes
         # a differentiable gather path
-        algo = "stacked" if (train and (self.gather_algo == "hybrid"
+        # the Pallas window and x-packed paths have no AD rules
+        algo = "stacked" if (train and (self.gather_algo in ("hybrid",
+                                                             "xpack")
                                         or self.gather_algo.startswith(
                                             "window"))) \
             else self.gather_algo
+        def stage_algo(s):
+            # xpack only pays off for narrow channels (v5e: conv 0.9-1.0 vs
+            # 1.65 ms at Cin<=32; at Cin>=64 the lane-select routing cancels
+            # the wider-row gather win)
+            if algo == "xpack" and self.channels[s] > 32:
+                return "stacked"
+            return algo
+
+        def make_map(grid, dims, a):
+            # xpack probes the overlapped-row layout (halo lanes carry the
+            # x-neighbor cells); other algos use the plain row layout
+            return _dense_rows_ov(grid, dims) if a == "xpack" \
+                else _dense_index_rows(grid, dims)
+
+        def subm_table(grid, dims, dense_map, a):
+            if a == "xpack":
+                return (subm_xpack_tables(grid, dims, dense_ov=dense_map),
+                        grid.valid)
+            return neighbor_table(grid, dims, dense_rows=dense_map)
         grid = make_grid(coords_zyx, voxel_valid, self.grid_zyx)
         # re-sort features to the grid's id order
         sentinel = self.grid_zyx[0] * self.grid_zyx[1] * self.grid_zyx[2]
@@ -227,10 +251,11 @@ class SparseMiddleEncoder(nn.Module):
         else:
             # one cell->site map per stage, shared by the stage's subm
             # table and the next stage's strided table
-            dense_map = _dense_index_rows(grid, dims)
-            table = neighbor_table(grid, dims, dense_rows=dense_map)
+            a0 = stage_algo(0)
+            dense_map = make_map(grid, dims, a0)
+            table = subm_table(grid, dims, dense_map, a0)
             x = SparseConv(self.channels[0], use_bias=False,
-                           gather_algo=algo, symmetric=True,
+                           gather_algo=a0, symmetric=True,
                            name="conv_input")(x, table)
             x = MaskedBatchNorm(axis_name=self.axis_name, name="bn_input")(
                 x, grid.valid, train=train)
@@ -238,7 +263,7 @@ class SparseMiddleEncoder(nn.Module):
             for j in range(2):
                 x = SparseBasicBlock(self.channels[0],
                                      axis_name=self.axis_name,
-                                     gather_algo=algo,
+                                     gather_algo=a0,
                                      name=f"res0_{j}")(x, table, grid.valid,
                                                        train)
 
@@ -264,15 +289,23 @@ class SparseMiddleEncoder(nn.Module):
                         name=f"res{s}_{j}")(canvas, mask, train)
             else:
                 ngrid = downsample_coords(grid, out_dims, self.vmax[s])
-                dtable = strided_gather_table(grid, ngrid, dims,
-                                              dense_rows=dense_map)
-                ndense_map = _dense_index_rows(ngrid, out_dims)
+                a_prev, a_s = stage_algo(s - 1), stage_algo(s)
+                # the strided conv reads the PREVIOUS stage's grid/map
+                if a_prev == "xpack":
+                    dtable = (strided_xpack_tables(grid, ngrid, dims,
+                                                   dense_ov=dense_map),
+                              grid.valid)
+                else:
+                    dtable = strided_gather_table(grid, ngrid, dims,
+                                                  dense_rows=dense_map)
+                ndense_map = make_map(ngrid, out_dims, a_s)
                 # inverse table only feeds the strided conv's custom VJP —
-                # skip the build at eval
+                # skip the build at eval (train never runs xpack, so the
+                # map layout is the plain one there)
                 inv = strided_inverse_table(grid, out_dims, ndense_map) \
                     if train else None
                 x = SparseConv(self.channels[s], use_bias=False,
-                               gather_algo=algo,
+                               gather_algo=a_prev,
                                name=f"down{s}")(x, dtable, inv)
                 x = MaskedBatchNorm(axis_name=self.axis_name,
                                     name=f"bn_down{s}")(
@@ -280,11 +313,11 @@ class SparseMiddleEncoder(nn.Module):
                 x = nn.relu(x)
                 grid, dims = ngrid, out_dims
                 dense_map = ndense_map
-                table = neighbor_table(grid, dims, dense_rows=dense_map)
+                table = subm_table(grid, dims, dense_map, a_s)
                 for j in range(2):
                     x = SparseBasicBlock(self.channels[s],
                                          axis_name=self.axis_name,
-                                         gather_algo=algo,
+                                         gather_algo=a_s,
                                          name=f"res{s}_{j}")(x, table,
                                                              grid.valid,
                                                              train)

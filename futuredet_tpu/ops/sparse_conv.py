@@ -122,6 +122,165 @@ def neighbor_table(grid: SparseGrid, dims, kernel: int = 3,
     return _probe(dense, q)                                # (K, V)
 
 
+_OFFS9 = [(dz, dy, 0) for dz in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+# overlapped dense-map layout: rows of 128 lanes covering 126 cells each,
+# with one halo lane on each side, so the row containing cell q also holds
+# cells q-1 and q+1 — one probe fetch yields the whole x-triple
+_OV_STRIDE = _PROBE_LANES - 2
+
+
+def _dense_rows_ov(grid: SparseGrid, dims) -> jax.Array:
+    """Overlapped cell -> site-index map, (R, 128) int32 (V where empty).
+
+    Row r covers cells [126r - 1, 126r + 126] at lanes [0, 127]; cells on a
+    126-boundary are written to two rows (halo lanes)."""
+    V = grid.ids.shape[0]
+    S, L = _OV_STRIDE, _PROBE_LANES
+    total = dims[0] * dims[1] * dims[2]
+    rows = total // S + 3
+    dense = jnp.full((rows * L,), V, jnp.int32)
+    ids = grid.ids
+    r0 = ids // S
+    trash = rows * L - 1
+    p_main = jnp.where(grid.valid, r0 * L + ids - S * r0 + 1, trash)
+    # id == S*(r0+1) - 1 also sits at lane 0 of row r0+1
+    p_next = jnp.where(grid.valid & (ids % S == S - 1),
+                       (r0 + 1) * L, trash)
+    # id == S*r0 also sits at lane 127 of row r0-1 (when r0 > 0)
+    p_prev = jnp.where(grid.valid & (ids % S == 0) & (r0 > 0),
+                       (r0 - 1) * L + L - 1, trash)
+    ar = jnp.arange(V, dtype=jnp.int32)
+    # one fused scatter (three sequential .at[].set updates made XLA
+    # materialize intermediate copies of the multi-hundred-MB map)
+    dense = dense.at[jnp.concatenate([p_main, p_next, p_prev])].set(
+        jnp.concatenate([ar, ar, ar]))
+    return dense.reshape(rows, L)
+
+
+def _probe3(dense_ov: jax.Array, q: jax.Array):
+    """Look up cells (q-1, q, q+1) with ONE row fetch per query. q any
+    shape int32 (pass a cell >= total for a guaranteed all-V sentinel)."""
+    L = _PROBE_LANES
+    S = _OV_STRIDE
+    r = q // S
+    g = dense_ov[r]                                        # (..., 128)
+    lane = (q - S * r + 1)[..., None]
+    ar = jnp.arange(L, dtype=jnp.int32)
+    out = []
+    for d in (-1, 0, 1):
+        oh = lane + d == ar
+        out.append(jnp.sum(jnp.where(oh, g, 0), axis=-1).astype(jnp.int32))
+    return tuple(out)
+
+
+_XP_IDX_BITS = 20                 # site index (< 2^20; caps are <= 160k)
+_XP_IDX_MASK = (1 << _XP_IDX_BITS) - 1
+
+
+def _xpack_tables(query_cells, query_x, query_valid, dims, dense_ov, V):
+    """(9, N) packed x-triple tables.
+
+    query_cells (9, N): linear cell ids of each (dz, dy, 0) kernel-offset
+    group center; query_x (N,): the x coordinate of the triple's middle
+    cell (to invalidate wrap-around companions at x boundaries).
+
+    Packed value = anchor | code_m1 << 20 | code_0 << 22 | code_p1 << 24,
+    where anchor = array index of the first present member of the cell
+    triple (V when none) and code_t in {0,1,2} is that member's lane in the
+    3-row slab [anchor, anchor+1, anchor+2] (3 = absent). Present members
+    of a cell triple are always CONTIGUOUS array rows: sites are sorted by
+    cell id and the only cell between q-1 and q+1 is q itself."""
+    total = dims[0] * dims[1] * dims[2]
+    # sentinel total+1: _probe3 touches cells q-1..q+1, and total-1 is a
+    # real cell — total+1 keeps the whole probed triple out of range
+    q = jnp.where(query_valid, query_cells, total + 1)
+    i_m1, i_0, i_p1 = _probe3(dense_ov, q)
+    X = dims[2]
+    i_m1 = jnp.where((query_x > 0)[None, :], i_m1, V)
+    i_p1 = jnp.where((query_x < X - 1)[None, :], i_p1, V)
+    anchor = jnp.minimum(jnp.minimum(i_m1, i_0), i_p1)
+    code = []
+    for idx in (i_m1, i_0, i_p1):
+        c = jnp.where(idx < V, idx - anchor, 3)
+        code.append(c.astype(jnp.int32))
+    return (anchor
+            | (code[0] << _XP_IDX_BITS)
+            | (code[1] << (_XP_IDX_BITS + 2))
+            | (code[2] << (_XP_IDX_BITS + 4)))
+
+
+def subm_xpack_tables(grid: SparseGrid, dims,
+                      dense_ov: jax.Array | None = None) -> jax.Array:
+    """Packed x-triple tables for a submanifold conv: 9 probes instead of
+    27 (the overlapped map's halo lanes carry the dx = +-1 cells)."""
+    if dense_ov is None:
+        dense_ov = _dense_rows_ov(grid, dims)
+    offs = np.array(_OFFS9, np.int32)
+    c = grid.coords[None, :, :] + offs[:, None, :]         # (9, V, 3)
+    inb = jnp.all((c[..., :2] >= 0)
+                  & (c[..., :2] < jnp.asarray(dims[:2], jnp.int32)), -1)
+    q = (c[..., 0] * dims[1] + c[..., 1]) * dims[2] + c[..., 2]
+    V = grid.ids.shape[0]
+    return _xpack_tables(q, grid.coords[:, 2], inb & grid.valid[None, :],
+                         dims, dense_ov, V)
+
+
+def strided_xpack_tables(in_grid: SparseGrid, out_grid: SparseGrid, dims,
+                         dense_ov: jax.Array | None = None) -> jax.Array:
+    """Packed x-triple tables for the kernel-3 stride-2 pad-1 conv: middle
+    cell of each triple = 2*out_coords + (dz, dy, 0). `dims` = INPUT grid
+    dims."""
+    if dense_ov is None:
+        dense_ov = _dense_rows_ov(in_grid, dims)
+    offs = np.array(_OFFS9, np.int32)
+    c = 2 * out_grid.coords[None, :, :] + offs[:, None, :]
+    inb = jnp.all((c[..., :2] >= 0)
+                  & (c[..., :2] < jnp.asarray(dims[:2], jnp.int32)), -1)
+    inb &= (c[..., 2] >= 0) & (c[..., 2] < dims[2])
+    q = (c[..., 0] * dims[1] + c[..., 1]) * dims[2] + c[..., 2]
+    V = in_grid.ids.shape[0]
+    return _xpack_tables(q, 2 * out_grid.coords[:, 2],
+                         inb & out_grid.valid[None, :], dims, dense_ov, V)
+
+
+def conv_x3(features, ptab, valid, weights, bias=None):
+    """x-packed gather conv — identical contraction to 'stacked' with 3x
+    fewer, 3x wider gathers.
+
+    features (V, Cin) input sites; ptab (9, N) packed tables
+    (`subm_xpack_tables` / `strided_xpack_tables`); valid (V,) input-site
+    mask. For each kernel-offset group ONE (3*Cin)-wide row is fetched from
+    the pre-widened operand wide[u] = [f[u], f[u+1], f[u+2]] (built by
+    streaming shifts), then 2-bit lane codes route the slab lanes to their
+    dx taps. Measured on v5e at V=30k: 1.9-2.3x faster than stacked at
+    Cin 16/32, 1.3-1.5x at 64/128. Inference-only (training uses the
+    stacked custom VJPs)."""
+    V, Cin = features.shape
+    K = weights.shape[0]
+    N = ptab.shape[1]
+    fv = jnp.where(valid[:, None], features, 0.0)
+    ext = jnp.concatenate([fv, jnp.zeros((3, Cin), fv.dtype)], 0)
+    wide = jnp.concatenate([ext[0:V + 1], ext[1:V + 2], ext[2:V + 3]], 1)
+    blocks = []
+    for g in range(9):
+        t = ptab[g]
+        a = t & _XP_IDX_MASK
+        slab = wide[a].reshape(N, 3, Cin)
+        for ti, shift in enumerate((_XP_IDX_BITS, _XP_IDX_BITS + 2,
+                                    _XP_IDX_BITS + 4)):
+            code = (t >> shift) & 3
+            sel = (code[:, None] == jnp.arange(3, dtype=jnp.int32)
+                   ).astype(fv.dtype)                      # (N, 3)
+            blocks.append(jnp.einsum("nl,nlc->nc", sel, slab))
+    gcat = jnp.concatenate(blocks, 1)                      # (N, 27*Cin)
+    out = jnp.dot(gcat, weights.reshape(K * Cin, -1),
+                  preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 def _gather_conv(features, table, weights, bias, compute_dtype, algo):
     """The raw gather->matmul contraction (loop / stacked)."""
     V, Cin = features.shape
@@ -295,6 +454,11 @@ def subm_conv_apply(features, table, weights, bias=None,
     (`strided_inverse_table`) instead for the same effect. Both apply only
     to the differentiable loop/stacked paths.
     """
+    if algo == "xpack":
+        # x-packed inference path: `table` is (packed_tables, input_valid)
+        # from subm_xpack_tables / strided_xpack_tables (see conv_x3)
+        ptab, valid_in = table
+        return conv_x3(features, ptab, valid_in, weights, bias)
     if symmetric and algo in ("loop", "stacked"):
         return _subm_conv_sym_vjp(features, table, weights, bias,
                                   compute_dtype, algo)

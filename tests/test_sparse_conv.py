@@ -135,6 +135,89 @@ def test_stacked_algo_matches_loop():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_xpack_algo_matches_stacked_exactly():
+    """x-packed conv (9 probes + adjacency-derived dx taps) must be
+    BITWISE identical to stacked: the gathered (V, 27*Cin) block is the
+    same matrix, contracted by the same matmul."""
+    for seed in range(6):
+        dims = (6, 9, 11)
+        coords, valid, feats = _rand_sparse(seed, dims)
+        rng = np.random.default_rng(100 + seed)
+        Cin = feats.shape[-1]
+        W = rng.normal(size=(27, Cin, 6)).astype(np.float32) * 0.1
+        b = rng.normal(size=(6,)).astype(np.float32)
+
+        grid = SC.make_grid(jnp.asarray(coords), jnp.asarray(valid), dims)
+        order = np.argsort(np.where(valid,
+                                    (coords[:, 0] * dims[1] + coords[:, 1])
+                                    * dims[2] + coords[:, 2],
+                                    np.prod(dims)))
+        sfeats = jnp.asarray(np.where(valid[order][:, None],
+                                      feats[order], 0.0))
+        table = SC.neighbor_table(grid, dims)
+        stacked = SC.subm_conv_apply(sfeats, table, jnp.asarray(W),
+                                     jnp.asarray(b), algo="stacked")
+        ptab = SC.subm_xpack_tables(grid, dims)
+        xp = SC.subm_conv_apply(
+            sfeats, (ptab, grid.valid), jnp.asarray(W), jnp.asarray(b),
+            algo="xpack")
+        v = np.asarray(grid.valid)
+        np.testing.assert_array_equal(np.asarray(xp)[v],
+                                      np.asarray(stacked)[v],
+                                      err_msg=f"seed {seed}")
+
+
+def test_xpack_strided_matches_stacked_exactly():
+    for seed in range(4):
+        dims = (6, 10, 12)
+        coords, valid, feats = _rand_sparse(20 + seed, dims)
+        rng = np.random.default_rng(200 + seed)
+        Cin = feats.shape[-1]
+        W = rng.normal(size=(27, Cin, 5)).astype(np.float32) * 0.1
+
+        grid = SC.make_grid(jnp.asarray(coords), jnp.asarray(valid), dims)
+        order = np.argsort(np.where(valid,
+                                    (coords[:, 0] * dims[1] + coords[:, 1])
+                                    * dims[2] + coords[:, 2],
+                                    np.prod(dims)))
+        sfeats = jnp.asarray(np.where(valid[order][:, None],
+                                      feats[order], 0.0))
+        out_dims = tuple((d + 1) // 2 for d in dims)
+        ngrid = SC.downsample_coords(grid, out_dims, 64)
+        dtable = SC.strided_gather_table(grid, ngrid, dims)
+        stacked = SC.subm_conv_apply(sfeats, dtable, jnp.asarray(W),
+                                     algo="stacked")
+        ptab = SC.strided_xpack_tables(grid, ngrid, dims)
+        xp = SC.subm_conv_apply(sfeats, (ptab, grid.valid), jnp.asarray(W),
+                                algo="xpack")
+        nv = np.asarray(ngrid.valid)
+        np.testing.assert_array_equal(np.asarray(xp)[nv],
+                                      np.asarray(stacked)[nv],
+                                      err_msg=f"seed {seed}")
+
+
+def test_xpack_x_boundary_no_wraparound():
+    """x=0 / x=X-1 companions must not leak across y rows even though
+    their linear ids are consecutive; full occupancy exercises every
+    boundary pair."""
+    dims = (2, 3, 4)
+    zz, yy, xx = np.meshgrid(*[np.arange(d) for d in dims], indexing="ij")
+    coords = np.stack([zz, yy, xx], -1).reshape(-1, 3).astype(np.int32)
+    V = len(coords)
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(V, 4)).astype(np.float32)
+    W = rng.normal(size=(27, 4, 4)).astype(np.float32) * 0.1
+    grid = SC.make_grid(jnp.asarray(coords), jnp.ones((V,), bool), dims)
+    sfeats = jnp.asarray(feats)   # already id-ordered by construction
+    table = SC.neighbor_table(grid, dims)
+    stacked = SC.subm_conv_apply(sfeats, table, jnp.asarray(W),
+                                 algo="stacked")
+    ptab = SC.subm_xpack_tables(grid, dims)
+    xp = SC.subm_conv_apply(sfeats, (ptab, grid.valid), jnp.asarray(W),
+                            algo="xpack")
+    np.testing.assert_array_equal(np.asarray(xp), np.asarray(stacked))
+
+
 def test_stacked_algo_matches_loop_strided():
     dims = (8, 10, 12)
     coords, valid, feats = _rand_sparse(5, dims)
