@@ -188,6 +188,9 @@ class ModelConfig:
     # otherwise — the v5e sweep winner at 149.7 ms vs 153.5 stacked /
     # 156.8 loop full-encoder; training downgrades to stacked)
     middle_gather_algo: str = "hybrid"
+    # widest Cin the x-packed gather path covers (beyond this the per-site
+    # lane-select routing cancels the wider-row gather win; v5e sweep)
+    middle_xpack_max_cin: int = 32
 
 
 @dataclass(frozen=True)

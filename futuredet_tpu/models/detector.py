@@ -131,7 +131,8 @@ class VoxelNetDetector(nn.Module):
             dense_dtype=(jnp.bfloat16
                          if c.model.middle_dense_dtype == "bfloat16"
                          else None),
-            gather_algo=algo)
+            gather_algo=algo,
+            xpack_max_cin=c.model.middle_xpack_max_cin)
         if B == 1:
             # unbatched fast path: identical param tree (nn.vmap with
             # variable_axes=None does not rename), no vmap wrapper, and

@@ -175,6 +175,8 @@ class SparseMiddleEncoder(nn.Module):
     dense_dtype: Optional[jnp.dtype] = None
     # sparse-stage gather/matmul strategy (ops.sparse_conv.subm_conv_apply)
     gather_algo: str = "loop"
+    # xpack stage cutoff: stages with channels > this use stacked
+    xpack_max_cin: int = 32
 
     @nn.compact
     def __call__(self, voxel_feats, coords_zyx, voxel_valid,
@@ -195,18 +197,19 @@ class SparseMiddleEncoder(nn.Module):
             # xpack only pays off for narrow channels (v5e: conv 0.9-1.0 vs
             # 1.65 ms at Cin<=32; at Cin>=64 the lane-select routing cancels
             # the wider-row gather win)
-            if algo == "xpack" and self.channels[s] > 32:
+            if algo == "xpack" and self.channels[s] > self.xpack_max_cin:
                 return "stacked"
             return algo
 
-        def make_map(grid, dims, a):
+        def make_map(grid, dims):
             # xpack probes the overlapped-row layout (halo lanes carry the
-            # x-neighbor cells); other algos use the plain row layout
-            return _dense_rows_ov(grid, dims) if a == "xpack" \
+            # x-neighbor cells) — 9 probes/table at EVERY stage; stages
+            # whose conv runs stacked unpack the 27-row form on the fly
+            return _dense_rows_ov(grid, dims) if algo == "xpack" \
                 else _dense_index_rows(grid, dims)
 
-        def subm_table(grid, dims, dense_map, a):
-            if a == "xpack":
+        def subm_table(grid, dims, dense_map):
+            if algo == "xpack":
                 return (subm_xpack_tables(grid, dims, dense_ov=dense_map),
                         grid.valid)
             return neighbor_table(grid, dims, dense_rows=dense_map)
@@ -252,8 +255,8 @@ class SparseMiddleEncoder(nn.Module):
             # one cell->site map per stage, shared by the stage's subm
             # table and the next stage's strided table
             a0 = stage_algo(0)
-            dense_map = make_map(grid, dims, a0)
-            table = subm_table(grid, dims, dense_map, a0)
+            dense_map = make_map(grid, dims)
+            table = subm_table(grid, dims, dense_map)
             x = SparseConv(self.channels[0], use_bias=False,
                            gather_algo=a0, symmetric=True,
                            name="conv_input")(x, table)
@@ -291,14 +294,14 @@ class SparseMiddleEncoder(nn.Module):
                 ngrid = downsample_coords(grid, out_dims, self.vmax[s])
                 a_prev, a_s = stage_algo(s - 1), stage_algo(s)
                 # the strided conv reads the PREVIOUS stage's grid/map
-                if a_prev == "xpack":
+                if algo == "xpack":
                     dtable = (strided_xpack_tables(grid, ngrid, dims,
                                                    dense_ov=dense_map),
                               grid.valid)
                 else:
                     dtable = strided_gather_table(grid, ngrid, dims,
                                                   dense_rows=dense_map)
-                ndense_map = make_map(ngrid, out_dims, a_s)
+                ndense_map = make_map(ngrid, out_dims)
                 # inverse table only feeds the strided conv's custom VJP —
                 # skip the build at eval (train never runs xpack, so the
                 # map layout is the plain one there)
@@ -313,7 +316,7 @@ class SparseMiddleEncoder(nn.Module):
                 x = nn.relu(x)
                 grid, dims = ngrid, out_dims
                 dense_map = ndense_map
-                table = subm_table(grid, dims, dense_map, a_s)
+                table = subm_table(grid, dims, dense_map)
                 for j in range(2):
                     x = SparseBasicBlock(self.channels[s],
                                          axis_name=self.axis_name,

@@ -244,6 +244,19 @@ def strided_xpack_tables(in_grid: SparseGrid, out_grid: SparseGrid, dims,
                          inb & out_grid.valid[None, :], dims, dense_ov, V)
 
 
+def unpack_xpack_tables(ptab: jax.Array, V: int) -> jax.Array:
+    """Reconstruct a plain (27, N) gather table from packed x-triple tables
+    — lets wide stages keep the (cheaper) 9-probe table build while running
+    the stacked conv (whose gather wins at Cin >= 64 on v5e)."""
+    a = ptab & _XP_IDX_MASK
+    rows = []
+    for shift in (_XP_IDX_BITS, _XP_IDX_BITS + 2, _XP_IDX_BITS + 4):
+        code = (ptab >> shift) & 3
+        rows.append(jnp.where(code < 3, a + code, V))       # (9, N)
+    # k = 3g + dx_index: interleave group-major
+    return jnp.stack(rows, 1).reshape(27, ptab.shape[1])
+
+
 def conv_x3(features, ptab, valid, weights, bias=None):
     """x-packed gather conv — identical contraction to 'stacked' with 3x
     fewer, 3x wider gathers.
@@ -272,6 +285,8 @@ def conv_x3(features, ptab, valid, weights, bias=None):
             code = (t >> shift) & 3
             sel = (code[:, None] == jnp.arange(3, dtype=jnp.int32)
                    ).astype(fv.dtype)                      # (N, 3)
+            # one-hot einsum routing (measured FASTER than jnp.where lane
+            # selects at Cin >= 32 on v5e: 1.0 vs 2.9 ms at s1)
             blocks.append(jnp.einsum("nl,nlc->nc", sel, slab))
     gcat = jnp.concatenate(blocks, 1)                      # (N, 27*Cin)
     out = jnp.dot(gcat, weights.reshape(K * Cin, -1),
@@ -459,6 +474,12 @@ def subm_conv_apply(features, table, weights, bias=None,
         # from subm_xpack_tables / strided_xpack_tables (see conv_x3)
         ptab, valid_in = table
         return conv_x3(features, ptab, valid_in, weights, bias)
+    if isinstance(table, tuple):
+        # packed tables handed to a non-xpack algo (wide stages keep the
+        # 9-probe table build but run the stacked conv) — reconstruct the
+        # plain 27-row table
+        ptab, valid_in = table
+        table = unpack_xpack_tables(ptab, valid_in.shape[0])
     if symmetric and algo in ("loop", "stacked"):
         return _subm_conv_sym_vjp(features, table, weights, bias,
                                   compute_dtype, algo)

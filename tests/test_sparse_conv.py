@@ -196,6 +196,26 @@ def test_xpack_strided_matches_stacked_exactly():
                                       err_msg=f"seed {seed}")
 
 
+def test_unpack_xpack_tables_reconstructs_plain_tables():
+    """Packed 9-probe tables unpack to exactly the 27-row neighbor /
+    strided tables (wide stages run stacked convs on the unpacked form)."""
+    for seed in range(3):
+        dims = (5, 9, 11)
+        coords, valid, _ = _rand_sparse(40 + seed, dims)
+        grid = SC.make_grid(jnp.asarray(coords), jnp.asarray(valid), dims)
+        V = grid.ids.shape[0]
+        np.testing.assert_array_equal(
+            np.asarray(SC.unpack_xpack_tables(
+                SC.subm_xpack_tables(grid, dims), V)),
+            np.asarray(SC.neighbor_table(grid, dims)))
+        out_dims = tuple((d + 1) // 2 for d in dims)
+        ngrid = SC.downsample_coords(grid, out_dims, 64)
+        np.testing.assert_array_equal(
+            np.asarray(SC.unpack_xpack_tables(
+                SC.strided_xpack_tables(grid, ngrid, dims), V)),
+            np.asarray(SC.strided_gather_table(grid, ngrid, dims)))
+
+
 def test_xpack_x_boundary_no_wraparound():
     """x=0 / x=X-1 companions must not leak across y rows even though
     their linear ids are consecutive; full occupancy exercises every
