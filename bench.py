@@ -113,6 +113,8 @@ def main():
         mupd["middle_dense_from_stage"] = int(os.environ["BENCH_DENSE_FROM"])
     if os.environ.get("BENCH_DENSE_DTYPE"):
         mupd["middle_dense_dtype"] = os.environ["BENCH_DENSE_DTYPE"]
+    if os.environ.get("BENCH_COMPUTE"):
+        mupd["compute_dtype"] = os.environ["BENCH_COMPUTE"]
     if os.environ.get("BENCH_XPACK_CIN"):
         mupd["middle_xpack_max_cin"] = int(os.environ["BENCH_XPACK_CIN"])
     if os.environ.get("BENCH_PFN_FLOOR"):

@@ -179,18 +179,21 @@ class ModelConfig:
     middle_dense_from_stage: Optional[int] = None
     # dtype for dense-stage conv contractions ("bfloat16" | None=fp32)
     middle_dense_dtype: Optional[str] = None
-    # sparse-stage gather strategy: "loop" (27 small-K matmuls), "stacked"
-    # (one gather + one K*Cin-deep MXU matmul), "window"/"window_bf16"
-    # (Pallas one-hot row-select over monotone neighbor windows —
-    # INFERENCE-ONLY and unbatched: training and B>1 auto-downgrade
-    # because pallas_call has no AD rule and the exactness cond
-    # degenerates under vmap), or "hybrid" (window for Cin<=16, stacked
-    # otherwise — the v5e sweep winner at 149.7 ms vs 153.5 stacked /
-    # 156.8 loop full-encoder; training downgrades to stacked)
-    middle_gather_algo: str = "hybrid"
+    # sparse-stage gather strategy: "xpack" (x-packed 9-probe tables +
+    # 3x-wide slab gathers for stages with Cin <= middle_xpack_max_cin,
+    # stacked on unpacked tables beyond — the v5e winner, inference-only:
+    # training downgrades to stacked custom-VJP paths), "loop" (27 small-K
+    # matmuls), "stacked" (one gather + one K*Cin-deep MXU matmul),
+    # "window"/"window_bf16" (Pallas one-hot row-select, inference-only and
+    # unbatched), or "hybrid" (window for Cin<=16, stacked otherwise)
+    middle_gather_algo: str = "xpack"
     # widest Cin the x-packed gather path covers (beyond this the per-site
     # lane-select routing cancels the wider-row gather win; v5e sweep)
     middle_xpack_max_cin: int = 32
+    # computation dtype for the dense BEV towers (RPN + CenterHead + z_crush;
+    # params and head outputs stay fp32). "bfloat16" halves their MXU time —
+    # the TPU-native serving mode; None = fp32 reference-parity numerics.
+    compute_dtype: Optional[str] = None
 
 
 @dataclass(frozen=True)

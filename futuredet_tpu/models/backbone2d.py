@@ -23,6 +23,7 @@ class RPN(nn.Module):
     us_strides: Tuple[float, ...] = (1, 2)
     us_filters: Tuple[int, ...] = (256, 256)
     axis_name: Optional[str] = None
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -31,10 +32,12 @@ class RPN(nn.Module):
         for i, n in enumerate(self.layer_nums):
             x = ConvBNReLU(self.ds_filters[i], 3, self.ds_strides[i],
                            use_bias=False, axis_name=self.axis_name,
+                           compute_dtype=self.compute_dtype,
                            name=f"block{i}_in")(x, train)
             for j in range(n):
                 x = ConvBNReLU(self.ds_filters[i], 3, 1, use_bias=False,
                                axis_name=self.axis_name,
+                               compute_dtype=self.compute_dtype,
                                name=f"block{i}_conv{j}")(x, train)
             k = i - upsample_start
             if k >= 0:
@@ -42,13 +45,15 @@ class RPN(nn.Module):
                 if s > 1:
                     up = DeconvBNReLU(self.us_filters[k], int(s),
                                       axis_name=self.axis_name,
+                                      compute_dtype=self.compute_dtype,
                                       name=f"deblock{k}")(x, train)
                 else:
                     stride = int(round(1 / s))
                     up = ConvBNReLU(self.us_filters[k], stride, stride,
                                     use_bias=False, axis_name=self.axis_name,
+                                    compute_dtype=self.compute_dtype,
                                     name=f"deblock{k}")(x, train)
                 ups.append(up)
         if ups:
             x = jnp.concatenate(ups, axis=-1)
-        return x
+        return x.astype(jnp.float32)

@@ -38,9 +38,11 @@ class SepHead(nn.Module):
     wide_head: bool = False
     in_channels: int = 64
     axis_name: Optional[str] = None
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
         out: Dict[str, jax.Array] = {}
         head_conv = self.in_channels if self.wide_head else self.head_conv
         head_names = [h for h, _ in self.heads]
@@ -48,8 +50,10 @@ class SepHead(nn.Module):
         if self.forecast_feature:
             # two 3x3 conv+BN+ReLU producing chained features (ref :119-124)
             x = ConvBNReLU(self.head_conv, 3, 1, axis_name=self.axis_name,
+                           compute_dtype=self.compute_dtype,
                            name="forecast_conv0")(x, train)
             x = ConvBNReLU(self.head_conv, 3, 1, axis_name=self.axis_name,
+                           compute_dtype=self.compute_dtype,
                            name="forecast_conv1")(x, train)
             out["feats"] = x
 
@@ -73,18 +77,19 @@ class SepHead(nn.Module):
                 h = shared_rev
             for i in range(num_conv - 1):
                 h = nn.Conv(head_conv, (self.final_kernel, self.final_kernel),
-                            padding="SAME", name=f"{head}_conv{i}")(h)
+                            padding="SAME", dtype=dt,
+                            name=f"{head}_conv{i}")(h)
                 h = nn.BatchNorm(use_running_average=not train,
                                  momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                                 axis_name=self.axis_name,
+                                 axis_name=self.axis_name, dtype=dt,
                                  name=f"{head}_bn{i}")(h)
                 h = nn.relu(h)
             bias_init = (_final_conv_bias(self.init_bias) if head == "hm"
                          else nn.initializers.zeros)
             h = nn.Conv(classes, (self.final_kernel, self.final_kernel),
-                        padding="SAME", bias_init=bias_init,
+                        padding="SAME", bias_init=bias_init, dtype=dt,
                         name=f"{head}_final")(h)
-            out[head] = h
+            out[head] = h.astype(jnp.float32)
         return out
 
 
@@ -148,6 +153,7 @@ class DCNSepHead(nn.Module):
 class CenterHead(nn.Module):
     cfg: HeadConfig
     axis_name: Optional[str] = None
+    compute_dtype: Optional[str] = None
 
     def _task_heads(self) -> List[Tuple[Tuple[str, Tuple[int, int]], ...]]:
         """Per-task branch specs incl. the standard-mode vel widening
@@ -170,6 +176,7 @@ class CenterHead(nn.Module):
         c = self.cfg
         share = c.effective_share_channel
         x = ConvBNReLU(share, 3, 1, axis_name=self.axis_name,
+                       compute_dtype=self.compute_dtype,
                        name="shared_conv")(x, train)
 
         if c.bev_map:
@@ -201,5 +208,6 @@ class CenterHead(nn.Module):
                 init_bias=c.init_bias, forecast_feature=c.forecast_feature,
                 two_stage=c.two_stage, wide_head=c.wide_head,
                 in_channels=in_ch, axis_name=self.axis_name,
+                compute_dtype=self.compute_dtype,
                 name=f"task{i}")(inp, train))
         return rets

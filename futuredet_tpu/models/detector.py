@@ -75,9 +75,11 @@ class PointPillarsDetector(nn.Module):
                 ds_filters=c.model.rpn.ds_filters,
                 us_strides=c.model.rpn.us_strides,
                 us_filters=c.model.rpn.us_filters,
+                compute_dtype=c.model.compute_dtype,
                 axis_name=self.axis_name, name="neck")(canvas, train)
 
         preds = CenterHead(cfg=c.model.head, axis_name=self.axis_name,
+                           compute_dtype=c.model.compute_dtype,
                            name="head")(x, bev_map=bev_map, train=train)
         # return_bev: expose the neck output for second-stage BEV pooling
         # (ref two_stage.py:170-173 passes bev_feature to the RoI modules)
@@ -156,6 +158,7 @@ class VoxelNetDetector(nn.Module):
             x = jax.lax.with_sharding_constraint(x, self.canvas_sharding)
 
         x = ConvBNReLU(c.model.rpn.in_channels, 1, 1, use_bias=False,
+                       compute_dtype=c.model.compute_dtype,
                        axis_name=self.axis_name, name="z_crush")(x, train)
 
         x = RPN(layer_nums=c.model.rpn.layer_nums,
@@ -163,8 +166,10 @@ class VoxelNetDetector(nn.Module):
                 ds_filters=c.model.rpn.ds_filters,
                 us_strides=c.model.rpn.us_strides,
                 us_filters=c.model.rpn.us_filters,
+                compute_dtype=c.model.compute_dtype,
                 axis_name=self.axis_name, name="neck")(x, train)
         preds = CenterHead(cfg=c.model.head, axis_name=self.axis_name,
+                           compute_dtype=c.model.compute_dtype,
                            name="head")(x, bev_map=bev_map, train=train)
         return (preds, x) if return_bev else preds
 

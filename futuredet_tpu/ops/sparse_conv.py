@@ -516,22 +516,31 @@ def subm_conv_apply(features, table, weights, bias=None,
 
 def downsample_coords(grid: SparseGrid, out_dims: Tuple[int, int, int],
                       max_out: int) -> SparseGrid:
-    """Output sites of a stride-2 sparse conv: dedupe(coords // 2)."""
-    c2 = jnp.where(grid.valid[:, None], grid.coords // 2, -1)
+    """Output sites of a stride-2 sparse conv: dedupe(coords // 2).
+
+    Deduped ids are compacted by a single-key SORT of the run-first
+    positions (TPU scatters are issue-bound; the sort+gather is cheaper)
+    and coords are decoded from the ids."""
     sentinel = out_dims[0] * out_dims[1] * out_dims[2]
+    c2 = grid.coords // 2
     ids = jnp.where(grid.valid, linear_ids(c2, out_dims), sentinel)
-    order = jnp.argsort(ids)
-    sids = ids[order]
-    sc = c2[order]
+    sids = jnp.sort(ids)
+    V = sids.shape[0]
     is_first = (sids < sentinel) & jnp.concatenate(
         [jnp.ones((1,), bool), sids[1:] != sids[:-1]])
-    slot = jnp.cumsum(is_first.astype(jnp.int32)) - 1
-    tgt = jnp.where(is_first & (slot < max_out), slot, max_out)
-    out_coords = jnp.full((max_out + 1, 3), -1, jnp.int32).at[tgt].set(sc)
-    out_ids = jnp.full((max_out + 1,), sentinel, jnp.int32).at[tgt].set(
-        sids.astype(jnp.int32))
-    return SparseGrid(coords=out_coords[:max_out], ids=out_ids[:max_out],
-                      valid=out_ids[:max_out] < sentinel)
+    pad_n = max(max_out - V, 0) + 1          # static; covers V < max_out
+    fp = jnp.sort(jnp.concatenate(
+        [jnp.where(is_first, jnp.arange(V, dtype=jnp.int32), V),
+         jnp.full((pad_n,), V, jnp.int32)]))[:max_out]
+    got = fp < V
+    out_ids = jnp.where(got, sids[jnp.minimum(fp, V - 1)], sentinel
+                        ).astype(jnp.int32)
+    oz = out_ids // (out_dims[1] * out_dims[2])
+    oy = (out_ids // out_dims[2]) % out_dims[1]
+    ox = out_ids % out_dims[2]
+    out_coords = jnp.where(got[:, None],
+                           jnp.stack([oz, oy, ox], -1).astype(jnp.int32), -1)
+    return SparseGrid(coords=out_coords, ids=out_ids, valid=got)
 
 
 def strided_gather_table(in_grid: SparseGrid, out_grid: SparseGrid, dims,
