@@ -232,6 +232,11 @@ class DataConfig:
     sample_groups: Tuple[Tuple[str, int], ...] = ()
     # ref db_prep_steps filter_by_min_num_points (n3dtf:132-136)
     gt_aug_min_points: int = 5
+    # ref global_random_rotation_range_per_object (n3dtf:139, consumed at
+    # sample_ops.py:318-323 via noise_per_object_v3_): re-place pasted
+    # objects anywhere on their ego-circle. Every shipped reference config
+    # sets [0, 0] = disabled; None keeps that default.
+    gt_aug_global_rot_range: Optional[Tuple[float, float]] = None
     global_rot_noise: Tuple[float, float] = (-0.78539816, 0.78539816)
     global_scale_noise: Tuple[float, float] = (0.9, 1.1)
     global_translate_std: float = 0.5

@@ -96,3 +96,154 @@ def apply_train_augmentations(gt_boxes, points, rng, *, rot_noise,
     gt, pts, trans = global_translate(gt, pts, rng, translate_std)
     return gt, pts, {"flips": flips, "rot": rot, "scale": scale,
                      "trans": trans}
+
+
+# ---------------------------------------------------------------------------
+# per-object noise (ref noise_per_object_v3_, preprocess.py:567-744)
+# ---------------------------------------------------------------------------
+
+_CORNERS_NORM = (np.array([[0.0, 0.0], [0.0, 1.0], [1.0, 1.0], [1.0, 0.0]],
+                          np.float64) - 0.5)
+
+
+def _box2d_corners(boxes5):
+    """(N, 5) [x,y,w,l,rot] -> (N, 4, 2); ref box2d_to_corner_jit
+    (box_np_ops.py:289-307): dims*corners_norm @ [[c,-s],[s,c]] + center."""
+    c, s = np.cos(boxes5[:, 4]), np.sin(boxes5[:, 4])
+    rot_t = np.stack([np.stack([c, -s], -1), np.stack([s, c], -1)], -2)
+    corners = boxes5[:, None, 2:4] * _CORNERS_NORM[None]
+    return np.einsum("nkj,njm->nkm", corners, rot_t) + boxes5[:, None, :2]
+
+
+def _accept_noise(boxes5, valid_mask, loc_noises, rot_noises,
+                  global_rot_noises=None):
+    """Sequential accept loop of ref noise_per_box / noise_per_box_v2_
+    (preprocess.py:219-247, 374-428): per box, the M candidate placements
+    are tested in order against the CURRENT corner state (earlier accepted
+    boxes have already moved); the first non-colliding candidate wins and
+    updates the state. Vectorized over the M tries; the outer loop is
+    inherently sequential (FCFS corner updates). MUTATES loc/rot_noises in
+    the grot mode exactly like the reference (accepted entries absorb the
+    radial displacement). Returns success index per box (-1 = keep)."""
+    from ..core.boxes import box_collision_test
+
+    N, M = rot_noises.shape
+    box_corners = _box2d_corners(boxes5)
+    success = -np.ones((N,), np.int64)
+    for i in range(N):
+        if not valid_mask[i]:
+            continue
+        if global_rot_noises is None:
+            base = box_corners[i] - boxes5[i, :2]            # (4, 2)
+            ang = rot_noises[i]                               # (M,)
+            c, s = np.cos(ang), np.sin(ang)
+            rot_t = np.stack([np.stack([c, -s], -1),
+                              np.stack([s, c], -1)], -2)      # (M, 2, 2)
+            cands = (np.einsum("kj,mjl->mkl", base, rot_t)
+                     + boxes5[i, :2] + loc_noises[i, :, :2][:, None, :])
+        else:
+            radius = np.hypot(boxes5[i, 0], boxes5[i, 1])
+            grot = np.arctan2(boxes5[i, 0], boxes5[i, 1])     # ref arg order
+            dst_grot = grot + global_rot_noises[i]            # (M,)
+            dst_pos = radius * np.stack(
+                [np.sin(dst_grot), np.cos(dst_grot)], -1)     # (M, 2)
+            rot2 = boxes5[i, 4] + (dst_grot - grot)
+            c, s = np.cos(rot2), np.sin(rot2)
+            rot_t = np.stack([np.stack([c, -s], -1),
+                              np.stack([s, c], -1)], -2)
+            base = boxes5[i, 2:4] * _CORNERS_NORM             # (4, 2)
+            cen = np.einsum("kj,mjl->mkl", base, rot_t)       # centered
+            ang = rot_noises[i]
+            c2, s2 = np.cos(ang), np.sin(ang)
+            rot_t2 = np.stack([np.stack([c2, -s2], -1),
+                               np.stack([s2, c2], -1)], -2)
+            cands = (np.einsum("mkj,mjl->mkl", cen, rot_t2)
+                     + dst_pos[:, None, :] + loc_noises[i, :, :2][:, None, :])
+        coll = box_collision_test(cands, box_corners)         # (M, N)
+        coll[:, i] = False
+        ok = ~coll.any(1)
+        if ok.any():
+            j = int(np.argmax(ok))
+            success[i] = j
+            box_corners[i] = cands[j]
+            if global_rot_noises is not None:
+                loc_noises[i, j, :2] += dst_pos[j] - boxes5[i, :2]
+                rot_noises[i, j] += dst_grot[j] - grot
+    return success
+
+
+def noise_per_object(gt_boxes, points=None, valid_mask=None, *,
+                     rotation_perturb=np.pi / 4, center_noise_std=1.0,
+                     global_rot_range=0.0, num_try=100, rng=None):
+    """Per-object placement noise — behavioral port of the reference's
+    `noise_per_object_v3_` (`/root/reference/det3d/core/sampler/
+    preprocess.py:567-744`; numba kernels noise_per_box/_v2_,
+    points_transform_, box3d_transform_).
+
+    gt_boxes: (N, 7) [x, y, z, w, l, h, rot] (the function's documented
+    contract in the reference; its only reachable call site —
+    sample_ops.py:321 with 12-col forecast boxes — is dead code there,
+    gated on global_random_rotation_range_per_object=[0,0] in every
+    shipped config. That call would misread column 6 (vx) as rotation; we
+    do NOT reproduce that layout quirk — callers pass a 7-col view).
+    points: optional (P, >=3); points inside a moved box move with it
+    (first containing valid box wins, ref points_transform_:431-448).
+    Returns (gt_boxes, points, success) — new arrays, not mutated.
+    """
+    from ..core.boxes import points_in_rbbox
+
+    gt = np.array(gt_boxes, np.float64)
+    N = len(gt)
+    if rng is None:
+        rng = np.random.default_rng(0)
+    if valid_mask is None:
+        valid_mask = np.ones((N,), bool)
+    if np.ndim(rotation_perturb) == 0:
+        rotation_perturb = [-rotation_perturb, rotation_perturb]
+    if np.ndim(global_rot_range) == 0:
+        global_rot_range = [-global_rot_range, global_rot_range]
+    if np.ndim(center_noise_std) == 0:
+        center_noise_std = [center_noise_std] * 3
+    enable_grot = abs(global_rot_range[0] - global_rot_range[1]) >= 1e-3
+
+    loc_noises = rng.normal(
+        scale=center_noise_std, size=(N, num_try, 3))
+    rot_noises = rng.uniform(
+        rotation_perturb[0], rotation_perturb[1], (N, num_try))
+    grot_noises = None
+    if enable_grot:
+        gt_grots = np.arctan2(gt[:, 0], gt[:, 1])
+        grot_noises = rng.uniform(
+            global_rot_range[0] - gt_grots[:, None],
+            global_rot_range[1] - gt_grots[:, None], (N, num_try))
+
+    success = _accept_noise(gt[:, [0, 1, 3, 4, 6]], valid_mask,
+                            loc_noises, rot_noises, grot_noises)
+
+    sel = np.maximum(success, 0)
+    hit = (success >= 0)
+    loc_t = np.where(hit[:, None], loc_noises[np.arange(N), sel], 0.0)
+    rot_t = np.where(hit, rot_noises[np.arange(N), sel], 0.0)
+
+    pts = None
+    if points is not None:
+        pts = np.array(points, np.float64)
+        if N:
+            # first containing VALID box claims the point (ref :443-448);
+            # masks from the ORIGINAL boxes, before the transform
+            masks = np.asarray(points_in_rbbox(pts[:, :3], gt[:, :7]))
+            masks = masks & valid_mask[None, :]
+            owner = np.argmax(masks, 1)
+            owned = masks.any(1)
+            c_, s_ = np.cos(rot_t[owner]), np.sin(rot_t[owner])
+            ctr = gt[owner, :3]
+            rel = pts[:, :3] - ctr
+            rx = rel[:, 0] * c_ + rel[:, 1] * s_      # rel @ [[c,-s],[s,c]]
+            ry = -rel[:, 0] * s_ + rel[:, 1] * c_
+            moved = np.stack([rx, ry, rel[:, 2]], -1) + ctr + loc_t[owner]
+            pts[:, :3] = np.where(owned[:, None], moved, pts[:, :3])
+        pts = pts.astype(points.dtype)
+
+    gt[:, :3] += np.where(valid_mask[:, None], loc_t, 0.0)
+    gt[:, 6] += np.where(valid_mask, rot_t, 0.0)
+    return gt.astype(np.asarray(gt_boxes).dtype), pts, success

@@ -102,7 +102,8 @@ def build_db_sampler(cfg: ExperimentConfig, info_path: str,
     return DataBaseSampler(db_info_path, root,
                            sample_groups=dict(cfg.data.sample_groups),
                            min_points=cfg.data.gt_aug_min_points,
-                           sampler_type=cfg.data.sampler_type, seed=seed)
+                           sampler_type=cfg.data.sampler_type, seed=seed,
+                           global_rot_range=cfg.data.gt_aug_global_rot_range)
 
 
 def _corners_bev(boxes: np.ndarray, rot_col: int) -> np.ndarray:
@@ -145,10 +146,21 @@ class DataBaseSampler:
     def __init__(self, db_info_path: str, root_path: str,
                  sample_groups: Dict[str, int],
                  min_points: int = 5, sampler_type: str = "trajectory",
-                 point_features: int = 5, seed: int = 0):
+                 point_features: int = 5, seed: int = 0,
+                 global_rot_range=None):
         self.root = root_path
         self.rng = np.random.default_rng(seed)
         self.point_features = point_features
+        # ref global_random_rotation_range_per_object (sample_ops.py:87-95):
+        # "place samples to any place in a circle"; every shipped config
+        # ships [0, 0] so this is OFF by default
+        if global_rot_range is not None:
+            lo, hi = float(global_rot_range[0]), float(global_rot_range[1])
+            if abs(lo - hi) < 1e-3:
+                global_rot_range = None
+            else:
+                global_rot_range = (lo, hi)
+        self.global_rot_range = global_rot_range
         with open(db_info_path, "rb") as f:
             db = pickle.load(f)
         # filter by min points (ref db_prep_steps filter_by_min_num_points)
@@ -186,6 +198,33 @@ class DataBaseSampler:
         num_gt = len(gt_boxes_t0)
         sp = np.stack([np.asarray(it["box3d_lidar"][0], np.float64)
                        for it in picked])
+
+        # optional per-object radial re-placement (ref sample_ops.py:318-323
+        # + noise_per_object_v3_): candidates may move anywhere on their
+        # ego-circle before collision testing. Deviations from the
+        # reference's DEAD path (every shipped config disables it), which
+        # misreads the 12-col layout (rotates column 6 = vx, updates
+        # column -1 = rrot): we rotate the TRUE rot column (10) and apply
+        # the same delta to every timestep; velocities stay untouched like
+        # the reference.
+        rot_t = np.zeros(len(picked))
+        if self.global_rot_range is not None:
+            from .augment import noise_per_object
+            joint = (np.concatenate(
+                [np.asarray(gt_boxes_t0, np.float64), sp], 0)
+                if num_gt else sp)
+            joint7 = joint[:, [0, 1, 2, 3, 4, 5, 10]]
+            vmask = np.zeros(len(joint), bool)
+            vmask[num_gt:] = True
+            out7, _, _ = noise_per_object(
+                joint7, None, vmask, rotation_perturb=0.0,
+                center_noise_std=0.0, global_rot_range=self.global_rot_range,
+                num_try=100, rng=self.rng)
+            new = out7[num_gt:]
+            rot_t = new[:, 6] - sp[:, 10]
+            sp[:, :2] = new[:, :2]
+            sp[:, 10] = new[:, 6]
+
         gt_bv = _corners_bev(np.asarray(gt_boxes_t0, np.float64), -2) \
             if num_gt else np.zeros((0, 4, 2))
         sp_bv = _corners_bev(sp, -1)
@@ -198,24 +237,35 @@ class DataBaseSampler:
                 coll[i] = False
                 coll[:, i] = False
             else:
-                kept.append(picked[i - num_gt])
+                kept.append(i - num_gt)
         if not kept:
             return None
 
-        T = len(kept[0]["box3d_lidar"])
+        T = len(picked[kept[0]]["box3d_lidar"])
         boxes = np.zeros((len(kept), T, 12), np.float32)
         pts_list = []
         names, trajs = [], []
-        for j, it in enumerate(kept):
-            b0 = np.asarray(it["box3d_lidar"][0], np.float32)
+        for j, cand in enumerate(kept):
+            it = picked[cand]
+            b0 = np.asarray(it["box3d_lidar"][0], np.float32).copy()
+            b0[:2] = sp[cand, :2]          # moved placement (identity when
+            b0[10] = sp[cand, 10]          # global_rot_range is off)
             for t in range(T):
                 bt = np.asarray(it["box3d_lidar"][min(t, T - 1)], np.float32)
                 # position frozen at t0, last-6 per timestep (ref quirk)
                 boxes[j, t, :6] = b0[:6]
                 boxes[j, t, 6:] = bt[6:]
+                boxes[j, t, 10] += rot_t[cand]
             p = np.fromfile(os.path.join(self.root, it["path"]),
                             np.float32).reshape(-1, self.point_features)
             p = np.hstack([p, np.zeros((len(p), 1), np.float32)])  # time lag
+            if rot_t[cand]:
+                # db points are box-relative: rotate about the origin before
+                # translating (ref rot_transform, sample_ops.py:203-207)
+                c, s = np.cos(rot_t[cand]), np.sin(rot_t[cand])
+                x_, y_ = p[:, 0].copy(), p[:, 1].copy()
+                p[:, 0] = x_ * c + y_ * s      # p @ [[c,-s],[s,c]]
+                p[:, 1] = -x_ * s + y_ * c
             p[:, :3] += b0[:3]
             pts_list.append(p)
             names.append(it["name"][0])

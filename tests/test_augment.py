@@ -83,3 +83,142 @@ def test_full_sequence_keeps_points_inside_their_boxes():
         translate_std=0.5)
     np.testing.assert_allclose(out_pts[:, :3], out_gt[0, :, :3],
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# per-object noise (noise_per_object_v3_) vs a verbatim loop oracle
+# ---------------------------------------------------------------------------
+
+def _oracle_corners2d(boxes5):
+    """verbatim loop of ref box2d_to_corner_jit (box_np_ops.py:289-307)."""
+    corners_norm = np.zeros((4, 2))
+    corners_norm[1, 1] = 1.0
+    corners_norm[2] = 1.0
+    corners_norm[3, 0] = 1.0
+    corners_norm -= 0.5
+    out = np.zeros((len(boxes5), 4, 2))
+    for i in range(len(boxes5)):
+        c, s = np.cos(boxes5[i, 4]), np.sin(boxes5[i, 4])
+        rot_t = np.array([[c, -s], [s, c]])
+        out[i] = boxes5[i, 2:4] * corners_norm @ rot_t + boxes5[i, :2]
+    return out
+
+
+def _oracle_accept(boxes5, valid, loc_noises, rot_noises, grot_noises=None):
+    """verbatim loop of ref noise_per_box / noise_per_box_v2_
+    (preprocess.py:219-247, 374-428), numba-free; mutates loc/rot like the
+    reference in the grot mode."""
+    N, M = rot_noises.shape
+    box_corners = _oracle_corners2d(boxes5)
+    success = -np.ones((N,), np.int64)
+    for i in range(N):
+        if not valid[i]:
+            continue
+        for j in range(M):
+            if grot_noises is None:
+                cur = box_corners[i].copy()
+                cur -= boxes5[i, :2]
+                c, s = np.cos(rot_noises[i, j]), np.sin(rot_noises[i, j])
+                cur = cur @ np.array([[c, -s], [s, c]])
+                cur += boxes5[i, :2] + loc_noises[i, j, :2]
+            else:
+                radius = np.sqrt(boxes5[i, 0] ** 2 + boxes5[i, 1] ** 2)
+                grot = np.arctan2(boxes5[i, 0], boxes5[i, 1])
+                dst_grot = grot + grot_noises[i, j]
+                dst_pos = np.array([radius * np.sin(dst_grot),
+                                    radius * np.cos(dst_grot)])
+                rot2 = boxes5[i, 4] + (dst_grot - grot)
+                c, s = np.cos(rot2), np.sin(rot2)
+                corners_norm = np.array(
+                    [[-.5, -.5], [-.5, .5], [.5, .5], [.5, -.5]])
+                cur = boxes5[i, 2:4] * corners_norm @ np.array(
+                    [[c, -s], [s, c]]) + dst_pos
+                cur -= dst_pos
+                c2, s2 = np.cos(rot_noises[i, j]), np.sin(rot_noises[i, j])
+                cur = cur @ np.array([[c2, -s2], [s2, c2]])
+                cur += dst_pos + loc_noises[i, j, :2]
+            coll = B.box_collision_test(cur.reshape(1, 4, 2), box_corners)
+            coll[0, i] = False
+            if not coll.any():
+                success[i] = j
+                box_corners[i] = cur
+                if grot_noises is not None:
+                    loc_noises[i, j, :2] += dst_pos - boxes5[i, :2]
+                    rot_noises[i, j] += dst_grot - grot
+                break
+    return success, box_corners
+
+
+def _noise_scene(seed, n=14):
+    rng = np.random.default_rng(seed)
+    boxes = np.zeros((n, 7))
+    boxes[:, :2] = rng.uniform(-20, 20, (n, 2))
+    boxes[:, 2] = rng.uniform(-1, 1, n)
+    boxes[:, 3:5] = rng.uniform(1.5, 4.0, (n, 2))
+    boxes[:, 5] = rng.uniform(1.0, 2.0, n)
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    return boxes, rng
+
+
+def test_noise_accept_matches_loop_oracle():
+    for seed in range(6):
+        boxes, rng = _noise_scene(seed)
+        n = len(boxes)
+        valid = rng.random(n) > 0.2
+        loc = rng.normal(scale=1.0, size=(n, 8, 3))
+        rot = rng.uniform(-0.8, 0.8, (n, 8))
+        got = A._accept_noise(boxes[:, [0, 1, 3, 4, 6]], valid,
+                              loc.copy(), rot.copy())
+        want, _ = _oracle_accept(boxes[:, [0, 1, 3, 4, 6]], valid,
+                                 loc.copy(), rot.copy())
+        np.testing.assert_array_equal(got, want)
+
+
+def test_noise_accept_grot_matches_loop_oracle():
+    for seed in range(6):
+        boxes, rng = _noise_scene(seed + 50)
+        n = len(boxes)
+        valid = np.ones(n, bool)
+        loc = np.zeros((n, 8, 3))
+        rot = np.zeros((n, 8))
+        grot = rng.uniform(-0.6, 0.6, (n, 8))
+        la, ra = loc.copy(), rot.copy()
+        lb, rb = loc.copy(), rot.copy()
+        got = A._accept_noise(boxes[:, [0, 1, 3, 4, 6]], valid, la, ra, grot)
+        want, _ = _oracle_accept(boxes[:, [0, 1, 3, 4, 6]], valid, lb, rb,
+                                 grot)
+        np.testing.assert_array_equal(got, want)
+        # the grot mode folds the radial displacement into the accepted
+        # noise entries (ref :424-426) — mutation must match too
+        np.testing.assert_allclose(la, lb, atol=1e-12)
+        np.testing.assert_allclose(ra, rb, atol=1e-12)
+
+
+def test_noise_per_object_moves_points_with_first_box():
+    boxes, _ = _noise_scene(3, n=6)
+    boxes[:, :2] = np.array([[0, 0], [0.5, 0], [30, 30], [-25, 10],
+                             [15, -20], [-12, -18]])  # boxes 0/1 overlap
+    pts = np.concatenate(
+        [boxes[:, :3], np.zeros((len(boxes), 2))], -1)  # one point per center
+    out, opts, success = A.noise_per_object(
+        boxes, pts, rotation_perturb=(-0.5, 0.5), center_noise_std=0.7,
+        num_try=32, rng=np.random.default_rng(11))
+    # center points follow their box (point at overlapping centers follows
+    # the FIRST containing box, ref points_transform_:443-448 break)
+    moved = success >= 0
+    # point 0 sits in box 0 (first containing) -> moves with box 0
+    np.testing.assert_allclose(opts[0, :3], out[0, :3], atol=1e-9)
+    # every non-overlapping center follows its own box
+    for k in range(2, len(boxes)):
+        np.testing.assert_allclose(opts[k, :3], out[k, :3], atol=1e-9)
+    assert moved.any()  # sanity: something moved
+
+
+def test_noise_per_object_zero_noise_is_identity():
+    boxes, _ = _noise_scene(4, n=5)
+    pts = np.concatenate([boxes[:, :3], np.zeros((5, 2))], -1)
+    out, opts, success = A.noise_per_object(
+        boxes, pts, rotation_perturb=0.0, center_noise_std=0.0,
+        num_try=4, rng=np.random.default_rng(0))
+    np.testing.assert_allclose(out, boxes, atol=1e-9)
+    np.testing.assert_allclose(opts, pts, atol=1e-9)
