@@ -162,9 +162,12 @@ class PillarFeatureNetDirect(nn.Module):
         w = ok.astype(pts.dtype)[:, None]
         sums = jax.ops.segment_sum(
             jnp.concatenate([pts[:, :3] * w, w], -1), pid, num_segments=n_seg)
-        cnt = jnp.maximum(sums[:, 3], 1.0)
-        means = sums[:, :3] / cnt[:, None]
-        f_cluster = pts[:, :3] - means[pid]
+        # one gather serves both the cluster offset AND the pad-floor mask:
+        # gathers are row-issue bound on TPU, so a 4th column is free while
+        # a separate mask gather costs a full second pass
+        g = sums[pid]
+        cnt_pt = jnp.maximum(g[:, 3:], 1.0)
+        f_cluster = pts[:, :3] - g[:, :3] / cnt_pt
 
         cx = ix.astype(pts.dtype) * vx + (vx / 2 + x0)
         cy = iy.astype(pts.dtype) * vy + (vy / 2 + y0)
@@ -176,31 +179,48 @@ class PillarFeatureNetDirect(nn.Module):
             # pillars with 0 < count < cap carry padded zero rows in the
             # reference; a per-pillar "phantom" row traces what those padded
             # rows become through the layer stack (layer 0: zeros; layer i>0:
-            # concat(prev phantom, pillar max)) and joins the pillar max
-            cnt_i = sums[:, 3]
-            floor_mask = ((cnt_i > 0)
-                          & (cnt_i < float(self.pad_floor_cap)))[:, None]
-            phantom = jnp.zeros((n_seg, x.shape[-1]), x.dtype)
+            # concat(prev phantom, pillar max)) and joins the pillar max.
+            # cnt_pt rode the means gather above, so the per-point mask is
+            # pure fused elementwise (ok implies count >= 1)
+            fm_pt = g[:, 3:] < float(self.pad_floor_cap)
+            # at layer 0 every phantom row is identical (all-zero input
+            # through a bias-free Dense -> BN+ReLU of zeros is one constant
+            # row): compute it on a single row and broadcast instead of
+            # materialising an (n_seg, C) zero matmul
+            phantom = jnp.zeros((1, x.shape[-1]), x.dtype)
         for i, ch in enumerate(self.num_filters):
             last = i == len(self.num_filters) - 1
             units = ch if last else ch // 2
             dense = nn.Dense(units, use_bias=False)
             mbn = MaskedBatchNorm(axis_name=self.axis_name)
             x = nn.relu(mbn(dense(x), ok, train=train))
-            pooled = jax.ops.segment_max(
-                jnp.where(ok[:, None], x, -jnp.inf), pid, num_segments=n_seg)
-            pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
             if floor:
                 # phantom uses running BN stats: exact at eval (the parity
                 # regime), approximate during training
                 ph = nn.relu(mbn(dense(phantom),
-                                 jnp.ones((n_seg,), bool), train=False))
-                pooled = jnp.where(floor_mask,
-                                   jnp.maximum(pooled, ph), pooled)
+                                 jnp.ones((phantom.shape[0],), bool),
+                                 train=False))
+                # floor applied on the POINTS side: max over points of
+                # max(x_p, ph) == max(pooled, ph) for any occupied pillar,
+                # so it rides the already-fused elementwise chain instead of
+                # a separate (n_seg, C) pass after the scatter (measured on
+                # v5e: post-scatter pass 1.26 ms, points-side select 1.0 ms,
+                # points-side multiply-mask 2.0 ms — select wins)
+                ph_pt = ph if ph.shape[0] == 1 else ph[pid]
+                x_eff = jnp.where(fm_pt, jnp.maximum(x, ph_pt), x)
+            else:
+                x_eff = x
+            pool_in = jnp.where(ok[:, None], x_eff, -jnp.inf)
+            pooled = jax.ops.segment_max(pool_in, pid, num_segments=n_seg)
+            pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
             if not last:
                 x = jnp.concatenate([x, pooled[pid]], -1)
                 if floor:
-                    phantom = jnp.concatenate([ph, pooled], -1)
+                    # layer i>0 phantoms genuinely differ per pillar (they
+                    # carry the pillar max) — materialise only now
+                    phantom = jnp.concatenate(
+                        [jnp.broadcast_to(ph, (n_seg, ph.shape[-1])),
+                         pooled], -1)
         return pooled[:B * H * W].reshape(B, H, W, -1)
 
 
