@@ -21,8 +21,15 @@ def test_config_forward_decode(name):
     kw = {"bev_map": batch["bev_map"]} if "bev_map" in batch else {}
     variables = model.init(jax.random.PRNGKey(0), batch["points"],
                            batch["points_valid"], **kw)
-    preds = model.apply(variables, batch["points"], batch["points_valid"],
-                        **kw)
+    out = model.apply(variables, batch["points"], batch["points_valid"],
+                      **kw)
+    if cfg.model.two_stage_refine:
+        # TwoStageDetector returns (first-stage preds, proposals, roi)
+        preds, proposals, roi = out
+        assert np.isfinite(np.asarray(roi["boxes"])).all()
+        assert np.isfinite(np.asarray(roi["scores"])).all()
+    else:
+        preds = out
     assert len(preds) == len(cfg.model.head.num_classes)
     det = decode_and_nms(cfg, preds)
     assert np.isfinite(np.asarray(det.boxes)).all()
