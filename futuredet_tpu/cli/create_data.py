@@ -11,9 +11,12 @@ import logging
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="FutureDet-TPU data prep")
-    p.add_argument("command", choices=["nuscenes_data_prep"])
+    p.add_argument("command", choices=["nuscenes_data_prep",
+                                       "waymo_data_prep"])
     p.add_argument("--root_path", required=True)
     p.add_argument("--version", default="v1.0-trainval")
+    p.add_argument("--split", default="train",
+                   help="waymo_data_prep: train/val/test")
     p.add_argument("--nsweeps", type=int, default=20)
     p.add_argument("--timesteps", type=int, default=7)
     p.add_argument("--filter_zero", type=lambda s: s != "False", default=True)
@@ -23,6 +26,14 @@ def main(argv=None):
                    help="config used for gt database packing")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, force=True)
+
+    if args.command == "waymo_data_prep":
+        # ref tools/create_data.py:30-31
+        from ..data.waymo import create_waymo_infos
+        path = create_waymo_infos(args.root_path, split=args.split,
+                                  nsweeps=args.nsweeps)
+        logging.info("waymo infos written: %s", path)
+        return [path]
 
     from ..data.infos import create_nuscenes_infos
     paths = create_nuscenes_infos(args.root_path, args.version, args.nsweeps,
