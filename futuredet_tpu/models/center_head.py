@@ -27,6 +27,49 @@ def _final_conv_bias(init_bias):
     return init
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder shaped/named exactly like an `nn.Conv` instance so
+    several branch convs can be fused into one wide conv at apply time
+    without changing the checkpoint tree."""
+    features: int
+    in_features: int
+    kernel: int = 3
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kernel, self.kernel, self.in_features,
+                        self.features))
+        b = self.param("bias", self.bias_init, (self.features,))
+        return k, b
+
+
+class _BNParams(nn.Module):
+    """Parameter/stats holder shaped/named exactly like `nn.BatchNorm`.
+
+    The caller computes batch statistics over the fused (concatenated)
+    activations and passes this branch's slice in; the holder owns the
+    per-branch running stats so the checkpoint tree is unchanged.
+    """
+    features: int
+
+    @nn.compact
+    def __call__(self, mu, var, train: bool):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,)))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,)))
+        if train and not self.is_initializing():
+            ra_mean.value = (BN_MOMENTUM * ra_mean.value
+                             + (1.0 - BN_MOMENTUM) * mu)
+            ra_var.value = (BN_MOMENTUM * ra_var.value
+                            + (1.0 - BN_MOMENTUM) * var)
+        return scale, bias, ra_mean.value, ra_var.value
+
+
 class SepHead(nn.Module):
     """Per-task head: one small conv stack per regression target (ref :81-174)."""
     heads: Tuple[Tuple[str, Tuple[int, int]], ...]
@@ -39,6 +82,8 @@ class SepHead(nn.Module):
     in_channels: int = 64
     axis_name: Optional[str] = None
     compute_dtype: Optional[str] = None
+    # test hook: False forces the per-branch towers (same params, same math)
+    fuse_branches: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -69,28 +114,139 @@ class SepHead(nn.Module):
                                     axis_name=self.axis_name,
                                     name="two_stage_reverse_conv")(x, train)
 
-        for head, (classes, num_conv) in self.heads:
-            h = x
+        # The per-branch towers (one ConvBNReLU + one final conv each) are
+        # dispatch/MXU-utilization bound on TPU: 12 N=64 convs per task at
+        # 180x180. Branches sharing an input are mathematically ONE wide
+        # conv (BN is per-channel) followed by ONE block-diagonal final
+        # conv; fusing halves the head wall-time
+        # (scripts/probe_head_fusion.py: 4.96 -> 2.95 ms for the 7-task
+        # stack). Parameters stay per-branch so the checkpoint tree — and
+        # the reference .pth converter mapping — is unchanged.
+        def src_of(head):
             if shared_fwd is not None and head in ("vel", "rot"):
-                h = shared_fwd
-            elif shared_rev is not None and head in ("rvel", "rrot"):
-                h = shared_rev
-            for i in range(num_conv - 1):
-                h = nn.Conv(head_conv, (self.final_kernel, self.final_kernel),
-                            padding="SAME", dtype=dt,
-                            name=f"{head}_conv{i}")(h)
-                h = nn.BatchNorm(use_running_average=not train,
-                                 momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                                 axis_name=self.axis_name, dtype=dt,
-                                 name=f"{head}_bn{i}")(h)
-                h = nn.relu(h)
+                return "fwd"
+            if shared_rev is not None and head in ("rvel", "rrot"):
+                return "rev"
+            return "x"
+
+        groups: Dict[Tuple[str, int], list] = {}
+        for head, (classes, num_conv) in self.heads:
+            groups.setdefault((src_of(head), num_conv), []).append(
+                (head, classes))
+
+        srcs = {"x": x, "fwd": shared_fwd, "rev": shared_rev}
+        tmp: Dict[str, jax.Array] = {}
+        for (src, num_conv), branches in groups.items():
+            if num_conv == 2 and len(branches) >= 2 and self.fuse_branches:
+                tmp.update(self._fused_towers(branches, head_conv,
+                                              srcs[src], dt, train))
+            else:
+                for head, classes in branches:
+                    tmp[head] = self._branch_tower(
+                        head, classes, num_conv, head_conv, srcs[src], dt,
+                        train)
+        for head, _ in self.heads:
+            out[head] = tmp[head].astype(jnp.float32)
+        return out
+
+    def _branch_tower(self, head, classes, num_conv, head_conv, h, dt,
+                      train):
+        """Unfused tower (kept for num_conv != 2 / singleton groups)."""
+        for i in range(num_conv - 1):
+            h = nn.Conv(head_conv, (self.final_kernel, self.final_kernel),
+                        padding="SAME", dtype=dt,
+                        name=f"{head}_conv{i}")(h)
+            h = nn.BatchNorm(use_running_average=not train,
+                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                             axis_name=self.axis_name, dtype=dt,
+                             name=f"{head}_bn{i}")(h)
+            h = nn.relu(h)
+        bias_init = (_final_conv_bias(self.init_bias) if head == "hm"
+                     else nn.initializers.zeros)
+        return nn.Conv(classes, (self.final_kernel, self.final_kernel),
+                       padding="SAME", bias_init=bias_init, dtype=dt,
+                       name=f"{head}_final")(h)
+
+    def _fused_towers(self, branches, head_conv, h, dt, train):
+        """All branches of one input as one wide ConvBNReLU + one
+        block-diagonal final conv — numerically identical to the per-branch
+        towers (BN statistics are per-channel; the final's kernel is zero
+        outside each branch's own 64-channel block)."""
+        fk = self.final_kernel
+        p = (fk - 1) // 2
+        cin = h.shape[-1]
+
+        ks, bs = [], []
+        for head, _ in branches:
+            k, b = _ConvParams(head_conv, cin, fk,
+                               name=f"{head}_conv0")()
+            ks.append(k)
+            bs.append(b)
+        wcat = jnp.concatenate(ks, axis=-1)
+        bcat = jnp.concatenate(bs, axis=-1)
+        if dt is not None:
+            h, wcat, bcat = h.astype(dt), wcat.astype(dt), bcat.astype(dt)
+        y = jax.lax.conv_general_dilated(
+            h, wcat, (1, 1), [(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bcat
+
+        # batch stats over the concatenation == each branch's own BN.
+        # Stats in fp32 (flax _compute_stats promotes), normalize in dt.
+        mu = var = None
+        if train:
+            yf = y.astype(jnp.float32)
+            mu = jnp.mean(yf, axis=(0, 1, 2))
+            mean2 = jnp.mean(jnp.square(yf), axis=(0, 1, 2))
+            if self.axis_name is not None:
+                mu, mean2 = jax.lax.pmean((mu, mean2), self.axis_name)
+            var = mean2 - jnp.square(mu)
+        scales, biases, rms, rvs = [], [], [], []
+        for gi, (head, _) in enumerate(branches):
+            sl = slice(gi * head_conv, (gi + 1) * head_conv)
+            s, bb, rm, rv = _BNParams(head_conv, name=f"{head}_bn0")(
+                None if mu is None else mu[sl],
+                None if var is None else var[sl], train)
+            scales.append(s)
+            biases.append(bb)
+            rms.append(rm)
+            rvs.append(rv)
+        m = mu if train else jnp.concatenate(rms)
+        v = var if train else jnp.concatenate(rvs)
+        sc = jnp.concatenate(scales)
+        bi = jnp.concatenate(biases)
+        if dt is not None:
+            m, v, sc, bi = (t.astype(dt) for t in (m, v, sc, bi))
+        a = nn.relu((y - m) * (jax.lax.rsqrt(v + BN_EPS) * sc) + bi)
+
+        fks, fbs, outs = [], [], []
+        for head, classes in branches:
             bias_init = (_final_conv_bias(self.init_bias) if head == "hm"
                          else nn.initializers.zeros)
-            h = nn.Conv(classes, (self.final_kernel, self.final_kernel),
-                        padding="SAME", bias_init=bias_init, dtype=dt,
-                        name=f"{head}_final")(h)
-            out[head] = h.astype(jnp.float32)
-        return out
+            k, b = _ConvParams(classes, head_conv, fk, bias_init=bias_init,
+                               name=f"{head}_final")()
+            fks.append(k)
+            fbs.append(b)
+            outs.append(classes)
+        oc = sum(outs)
+        wbd = jnp.zeros((fk, fk, len(branches) * head_conv, oc),
+                        fks[0].dtype)
+        co = 0
+        for gi, (k, o) in enumerate(zip(fks, outs)):
+            wbd = wbd.at[:, :, gi * head_conv:(gi + 1) * head_conv,
+                         co:co + o].set(k)
+            co += o
+        bbd = jnp.concatenate(fbs)
+        if dt is not None:
+            wbd, bbd = wbd.astype(dt), bbd.astype(dt)
+        z = jax.lax.conv_general_dilated(
+            a, wbd, (1, 1), [(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bbd
+        res = {}
+        co = 0
+        for (head, _), o in zip(branches, outs):
+            res[head] = z[..., co:co + o]
+            co += o
+        return res
 
 
 class FeatureAdaption(nn.Module):

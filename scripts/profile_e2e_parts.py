@@ -60,8 +60,12 @@ def main():
     variables = jax.jit(lambda r: model.init(r, pts_j, valid_j,
                                              train=False))(
         jax.random.PRNGKey(0))
+    # consume EVERY head output: returning only hm lets XLA dead-code
+    # eliminate the other five branch towers per task (an earlier version
+    # did exactly that and under-measured heads by ~2x)
     t_fwd = chain_ms(
-        lambda p: model.apply(variables, p, valid_j, train=False)[0]["hm"],
+        lambda p: sum(jnp.sum(v) for pd in model.apply(
+            variables, p, valid_j, train=False) for v in pd.values()),
         pts_j, iters=50)
 
     def full(p):
