@@ -201,15 +201,22 @@ class SparseMiddleEncoder(nn.Module):
                 return "stacked"
             return algo
 
+        # table LAYOUT follows the configured algo, not the train-coerced
+        # conv algo: the 9-probe packed builds are ~2x cheaper than the
+        # plain 27-probe ones at train geometry (s0: 19.8 -> 11.6 ms,
+        # scripts/probe_traintables.py) and the stacked/custom-VJP convs
+        # consume them via unpack_xpack_tables (bit-identical tables)
+        packed_layout = self.gather_algo == "xpack"
+
         def make_map(grid, dims):
             # xpack probes the overlapped-row layout (halo lanes carry the
             # x-neighbor cells) — 9 probes/table at EVERY stage; stages
             # whose conv runs stacked unpack the 27-row form on the fly
-            return _dense_rows_ov(grid, dims) if algo == "xpack" \
+            return _dense_rows_ov(grid, dims) if packed_layout \
                 else _dense_index_rows(grid, dims)
 
         def subm_table(grid, dims, dense_map):
-            if algo == "xpack":
+            if packed_layout:
                 return (subm_xpack_tables(grid, dims, dense_ov=dense_map),
                         grid.valid)
             return neighbor_table(grid, dims, dense_rows=dense_map)
@@ -294,7 +301,7 @@ class SparseMiddleEncoder(nn.Module):
                 ngrid = downsample_coords(grid, out_dims, self.vmax[s])
                 a_prev, a_s = stage_algo(s - 1), stage_algo(s)
                 # the strided conv reads the PREVIOUS stage's grid/map
-                if algo == "xpack":
+                if packed_layout:
                     dtable = (strided_xpack_tables(grid, ngrid, dims,
                                                    dense_ov=dense_map),
                               grid.valid)
@@ -303,9 +310,9 @@ class SparseMiddleEncoder(nn.Module):
                                                   dense_rows=dense_map)
                 ndense_map = make_map(ngrid, out_dims)
                 # inverse table only feeds the strided conv's custom VJP —
-                # skip the build at eval (train never runs xpack, so the
-                # map layout is the plain one there)
-                inv = strided_inverse_table(grid, out_dims, ndense_map) \
+                # skip the build at eval
+                inv = strided_inverse_table(grid, out_dims, ndense_map,
+                                            ov=packed_layout) \
                     if train else None
                 x = SparseConv(self.channels[s], use_bias=False,
                                gather_algo=a_prev,

@@ -158,6 +158,18 @@ def _dense_rows_ov(grid: SparseGrid, dims) -> jax.Array:
     return dense.reshape(rows, L)
 
 
+def _probe_ov(dense_ov: jax.Array, q: jax.Array) -> jax.Array:
+    """Single-cell lookup in an OVERLAPPED (`_dense_rows_ov`) map — the
+    `_probe` equivalent for the packed-table layout (pass a cell >= total
+    for a guaranteed-V sentinel)."""
+    L = _PROBE_LANES
+    S = _OV_STRIDE
+    r = q // S
+    g = dense_ov[r]
+    oh = (q - S * r + 1)[..., None] == jnp.arange(L, dtype=jnp.int32)
+    return jnp.sum(jnp.where(oh, g, 0), axis=-1).astype(jnp.int32)
+
+
 def _probe3(dense_ov: jax.Array, q: jax.Array):
     """Look up cells (q-1, q, q+1) with ONE row fetch per query. q any
     shape int32 (pass a cell >= total for a guaranteed all-V sentinel)."""
@@ -375,13 +387,15 @@ def _subm_conv_sym_vjp(features, table, weights, bias, compute_dtype, algo):
 
 def strided_inverse_table(in_grid: SparseGrid, out_dims,
                           dense_rows_out: jax.Array,
-                          kernel: int = 3) -> jax.Array:
+                          kernel: int = 3, ov: bool = False) -> jax.Array:
     """(K, V_in) indices into OUTPUT sites: row k holds the output site o
     (V_out where none) with `strided_gather_table`'s tab[k][o] == u, i.e.
     2*o_coords + offs[k] == in_coords[u]. Each input site feeds at most one
     output per offset (oc = (c - off) / 2 when the parity matches), so the
     transpose of a strided conv is again a gather — used by its custom VJP.
-    `dense_rows_out` = `_dense_index_rows(out_grid, out_dims)`."""
+    `dense_rows_out` = `_dense_index_rows(out_grid, out_dims)`, or the
+    `_dense_rows_ov` overlapped map with `ov=True` (the packed-table
+    layout, so training can reuse the 9-probe builds' maps)."""
     total = out_dims[0] * out_dims[1] * out_dims[2]
     offs = np.array(_offsets(kernel), np.int32)              # (K, 3)
     num = in_grid.coords[None, :, :] - offs[:, None, :]      # (K, V, 3)
@@ -391,7 +405,7 @@ def strided_inverse_table(in_grid: SparseGrid, out_dims,
                   axis=-1)
     q = (oc[..., 0] * out_dims[1] + oc[..., 1]) * out_dims[2] + oc[..., 2]
     q = jnp.where(even & inb & in_grid.valid[None, :], q, total)
-    return _probe(dense_rows_out, q)
+    return _probe_ov(dense_rows_out, q) if ov else _probe(dense_rows_out, q)
 
 
 def _strided_conv_vjp(features, table, inv_table, weights, bias,

@@ -385,3 +385,54 @@ def test_strided_inverse_vjp_matches_autodiff():
         for a, b in zip(gs, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4)
+
+
+def test_strided_inverse_table_ov_matches_plain():
+    """The ov-map variant of strided_inverse_table (used when training
+    keeps the packed 9-probe table layout) equals the plain-map build."""
+    dims = (8, 10, 12)
+    coords, valid, _ = _rand_sparse(31, dims)
+    grid = SC.make_grid(jnp.asarray(coords), jnp.asarray(valid), dims)
+    out_dims = tuple(max((d + 1) // 2, 1) for d in dims)
+    ngrid = SC.downsample_coords(grid, out_dims, 64)
+    plain = SC.strided_inverse_table(
+        grid, out_dims, SC._dense_index_rows(ngrid, out_dims))
+    ov = SC.strided_inverse_table(
+        grid, out_dims, SC._dense_rows_ov(ngrid, out_dims), ov=True)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(ov))
+
+
+def test_encoder_train_grads_same_across_table_layouts():
+    """Training with gather_algo='xpack' (packed 9-probe table layout,
+    stacked convs on unpacked tables) must produce the same loss and
+    gradients as gather_algo='stacked' (plain 27-probe layout)."""
+    from futuredet_tpu.models.middle import SparseMiddleEncoder
+
+    dims = (8, 16, 16)
+    coords, valid, feats = _rand_sparse(41, dims, n=60, V=96, C=5)
+    kw = dict(channels=(8, 8, 16, 16), vmax=(96, 64, 48, 32),
+              grid_zyx=dims)
+    enc_p = SparseMiddleEncoder(**kw, gather_algo="xpack")
+    enc_s = SparseMiddleEncoder(**kw, gather_algo="stacked")
+    cj, vj, fj = (jnp.asarray(a) for a in (coords, valid, feats))
+    vars_p = enc_p.init(jax.random.PRNGKey(0), fj, cj, vj, True)
+    vars_s = enc_s.init(jax.random.PRNGKey(0), fj, cj, vj, True)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        vars_p, vars_s)
+
+    def loss(params, enc, variables):
+        out, _ = enc.apply({**variables, "params": params}, fj, cj, vj,
+                           True, mutable=["batch_stats"])
+        return jnp.sum(jnp.square(out))
+
+    lp, gp = jax.value_and_grad(lambda p: loss(p, enc_p, vars_p))(
+        vars_p["params"])
+    ls, gs = jax.value_and_grad(lambda p: loss(p, enc_s, vars_s))(
+        vars_s["params"])
+    np.testing.assert_allclose(float(lp), float(ls), rtol=1e-5)
+    for (p, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(gp),
+                              jax.tree_util.tree_leaves_with_path(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=str(p))
