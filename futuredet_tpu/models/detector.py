@@ -134,7 +134,10 @@ class VoxelNetDetector(nn.Module):
                          if c.model.middle_dense_dtype == "bfloat16"
                          else None),
             gather_algo=algo,
-            xpack_max_cin=c.model.middle_xpack_max_cin)
+            xpack_max_cin=c.model.middle_xpack_max_cin,
+            # voxelize_mean's slot order IS the grid sort order (same
+            # z-major key, padding at the end) — skip the entry argsorts
+            assume_sorted=True)
         if B == 1:
             # unbatched fast path: identical param tree (nn.vmap with
             # variable_axes=None does not rename), no vmap wrapper, and

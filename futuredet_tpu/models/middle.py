@@ -177,6 +177,10 @@ class SparseMiddleEncoder(nn.Module):
     gather_algo: str = "loop"
     # xpack stage cutoff: stages with channels > this use stacked
     xpack_max_cin: int = 32
+    # caller guarantees (coords, feats) already sorted ascending by the
+    # grid's z-major linear id with padding at the end — true for
+    # ops.voxelize outputs (same sort key) — skipping the entry argsorts
+    assume_sorted: bool = False
 
     @nn.compact
     def __call__(self, voxel_feats, coords_zyx, voxel_valid,
@@ -220,14 +224,25 @@ class SparseMiddleEncoder(nn.Module):
                 return (subm_xpack_tables(grid, dims, dense_ov=dense_map),
                         grid.valid)
             return neighbor_table(grid, dims, dense_rows=dense_map)
-        grid = make_grid(coords_zyx, voxel_valid, self.grid_zyx)
-        # re-sort features to the grid's id order
         sentinel = self.grid_zyx[0] * self.grid_zyx[1] * self.grid_zyx[2]
-        order = jnp.argsort(jnp.where(voxel_valid,
-                                      (coords_zyx[:, 0] * self.grid_zyx[1]
-                                       + coords_zyx[:, 1]) * self.grid_zyx[2]
-                                      + coords_zyx[:, 2], sentinel))
-        x = voxel_feats[order]
+        if self.assume_sorted:
+            # voxelize_mean emits slots in ascending linear-id order with
+            # padding (valid=False) at the end — exactly make_grid's
+            # invariant, so both entry argsorts are identity work
+            from ..ops.sparse_conv import SparseGrid, linear_ids
+            ids = jnp.where(voxel_valid,
+                            linear_ids(coords_zyx, self.grid_zyx), sentinel)
+            grid = SparseGrid(coords=coords_zyx, ids=ids, valid=voxel_valid)
+            x = voxel_feats
+        else:
+            grid = make_grid(coords_zyx, voxel_valid, self.grid_zyx)
+            # re-sort features to the grid's id order
+            order = jnp.argsort(
+                jnp.where(voxel_valid,
+                          (coords_zyx[:, 0] * self.grid_zyx[1]
+                           + coords_zyx[:, 1]) * self.grid_zyx[2]
+                          + coords_zyx[:, 2], sentinel))
+            x = voxel_feats[order]
 
         dims = self.grid_zyx
         canvas = mask = None          # dense-stage state, once transitioned

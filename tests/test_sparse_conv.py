@@ -436,3 +436,43 @@ def test_encoder_train_grads_same_across_table_layouts():
                               jax.tree_util.tree_leaves_with_path(gs)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4, err_msg=str(p))
+
+
+def test_encoder_assume_sorted_matches_on_voxelizer_output():
+    """voxelize_mean's slot order must satisfy the assume_sorted contract
+    (ascending z-major linear id, padding at the end), and the encoder must
+    produce identical output with the argsorts skipped."""
+    from futuredet_tpu.models.middle import SparseMiddleEncoder
+    from futuredet_tpu.ops.voxelize import voxelize_mean
+
+    rng = np.random.default_rng(7)
+    P, F = 2000, 5
+    pts = np.concatenate([
+        rng.uniform(-7.9, 7.9, (P, 2)), rng.uniform(-2.9, 2.9, (P, 1)),
+        rng.uniform(0, 1, (P, 2))], -1).astype(np.float32)
+    pc_range = jnp.asarray([-8.0, -8.0, -3.0, 8.0, 8.0, 3.0])
+    vsz = jnp.asarray([1.0, 1.0, 0.5])
+    grid_size = (16, 16, 12)
+    feats, coords, _, _ = voxelize_mean(
+        jnp.asarray(pts), jnp.ones((P,), bool), pc_range, vsz,
+        grid_size=grid_size, max_voxels=256, max_points=8)
+    vvalid = coords[:, 0] >= 0
+    dims = (13, 16, 16)   # (gz+1, gy, gx)
+
+    # the contract itself: valid ids ascending, padding at the end
+    ids = np.asarray((coords[:, 0] * dims[1] + coords[:, 1]) * dims[2]
+                     + coords[:, 2])
+    v = np.asarray(vvalid)
+    if (~v).any():
+        assert not v[np.argmax(~v):].any(), "padding must be a suffix"
+    assert np.all(np.diff(ids[v]) > 0), "valid ids must be ascending"
+
+    kw = dict(channels=(8, 8, 16, 16), vmax=(256, 128, 64, 64),
+              grid_zyx=dims, gather_algo="xpack")
+    enc_a = SparseMiddleEncoder(**kw, assume_sorted=True)
+    enc_b = SparseMiddleEncoder(**kw, assume_sorted=False)
+    variables = enc_a.init(jax.random.PRNGKey(0), feats, coords, vvalid,
+                           False)
+    out_a = enc_a.apply(variables, feats, coords, vvalid, False)
+    out_b = enc_b.apply(variables, feats, coords, vvalid, False)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
