@@ -189,11 +189,10 @@ class SparseMiddleEncoder(nn.Module):
         dense BEV (Y/8, X/8, channels[-1] * Z4)."""
         dense_start = (self.dense_from_stage
                        if self.dense_from_stage is not None else 4)
-        # the Pallas windowed gather has no AD rule — training always takes
-        # a differentiable gather path
-        # the Pallas window and x-packed paths have no AD rules
-        algo = "stacked" if (train and (self.gather_algo in ("hybrid",
-                                                             "xpack")
+        # the Pallas windowed gather has no AD rule — training falls back
+        # to the stacked custom-VJP path there; x-packed convs train
+        # natively via _xpack_conv_sym_vjp / _xpack_strided_vjp
+        algo = "stacked" if (train and (self.gather_algo == "hybrid"
                                         or self.gather_algo.startswith(
                                             "window"))) \
             else self.gather_algo

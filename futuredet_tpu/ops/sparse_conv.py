@@ -269,20 +269,12 @@ def unpack_xpack_tables(ptab: jax.Array, V: int) -> jax.Array:
     return jnp.stack(rows, 1).reshape(27, ptab.shape[1])
 
 
-def conv_x3(features, ptab, valid, weights, bias=None):
-    """x-packed gather conv — identical contraction to 'stacked' with 3x
-    fewer, 3x wider gathers.
-
-    features (V, Cin) input sites; ptab (9, N) packed tables
-    (`subm_xpack_tables` / `strided_xpack_tables`); valid (V,) input-site
-    mask. For each kernel-offset group ONE (3*Cin)-wide row is fetched from
-    the pre-widened operand wide[u] = [f[u], f[u+1], f[u+2]] (built by
-    streaming shifts), then 2-bit lane codes route the slab lanes to their
-    dx taps. Measured on v5e at V=30k: 1.9-2.3x faster than stacked at
-    Cin 16/32, 1.3-1.5x at 64/128. Inference-only (training uses the
-    stacked custom VJPs)."""
+def _xpack_gcat(features, ptab, valid):
+    """The x-packed gathered block (N, 27*Cin): for each kernel-offset
+    group ONE (3*Cin)-wide row is fetched from the pre-widened operand
+    wide[u] = [f[u], f[u+1], f[u+2]] (built by streaming shifts), then
+    2-bit lane codes route the slab lanes to their dx taps."""
     V, Cin = features.shape
-    K = weights.shape[0]
     N = ptab.shape[1]
     fv = jnp.where(valid[:, None], features, 0.0)
     ext = jnp.concatenate([fv, jnp.zeros((3, Cin), fv.dtype)], 0)
@@ -292,20 +284,115 @@ def conv_x3(features, ptab, valid, weights, bias=None):
         t = ptab[g]
         a = t & _XP_IDX_MASK
         slab = wide[a].reshape(N, 3, Cin)
-        for ti, shift in enumerate((_XP_IDX_BITS, _XP_IDX_BITS + 2,
-                                    _XP_IDX_BITS + 4)):
+        for shift in (_XP_IDX_BITS, _XP_IDX_BITS + 2, _XP_IDX_BITS + 4):
             code = (t >> shift) & 3
             sel = (code[:, None] == jnp.arange(3, dtype=jnp.int32)
                    ).astype(fv.dtype)                      # (N, 3)
             # one-hot einsum routing (measured FASTER than jnp.where lane
             # selects at Cin >= 32 on v5e: 1.0 vs 2.9 ms at s1)
             blocks.append(jnp.einsum("nl,nlc->nc", sel, slab))
-    gcat = jnp.concatenate(blocks, 1)                      # (N, 27*Cin)
+    return jnp.concatenate(blocks, 1)                      # (N, 27*Cin)
+
+
+def conv_x3(features, ptab, valid, weights, bias=None):
+    """x-packed gather conv — identical contraction to 'stacked' with 3x
+    fewer, 3x wider gathers.
+
+    features (V, Cin) input sites; ptab (9, N) packed tables
+    (`subm_xpack_tables` / `strided_xpack_tables`); valid (V,) input-site
+    mask. Measured on v5e at V=30k: 1.9-2.3x faster than stacked at
+    Cin 16/32, 1.3-1.5x at 64/128 (and 8.7 -> 3.7 ms at V=120k train
+    geometry). Training wraps it in the x-packed custom VJPs below."""
+    K = weights.shape[0]
+    Cin = features.shape[1]
+    gcat = _xpack_gcat(features, ptab, valid)
     out = jnp.dot(gcat, weights.reshape(K * Cin, -1),
                   preferred_element_type=jnp.float32)
     if bias is not None:
         out = out + bias
     return out
+
+
+def flip_xpack_tables(ptab: jax.Array) -> jax.Array:
+    """Packed tables of the NEGATED kernel offsets: group g -> 8-g and the
+    code_m1/code_p1 bit fields swap (x mirror); anchors are unchanged (the
+    triple's member set is the same). For SUBMANIFOLD tables this aligns
+    tap k with offset-(26-k), making the conv transpose another conv_x3:
+    dx = conv_x3(gy, flip(ptab), valid, W.transpose(0, 2, 1))."""
+    anchor = ptab & _XP_IDX_MASK
+    c_m1 = (ptab >> _XP_IDX_BITS) & 3
+    c_0 = (ptab >> (_XP_IDX_BITS + 2)) & 3
+    c_p1 = (ptab >> (_XP_IDX_BITS + 4)) & 3
+    return (anchor | (c_p1 << _XP_IDX_BITS) | (c_0 << (_XP_IDX_BITS + 2))
+            | (c_m1 << (_XP_IDX_BITS + 4)))[::-1]
+
+
+def _xpack_conv_sym_vjp(features, ptab, valid, weights, bias):
+    """conv_x3 with the gather-transpose custom VJP for SUBMANIFOLD packed
+    tables: backward = one flipped conv_x3 (dx) + one slab-gather matmul
+    (dw = gcat^T @ gy) — both at x-packed speed instead of 27-row stacked
+    gathers. Tables/valid are formal args with float0 cotangents (closures
+    leak BatchTracers under the detector's nn.vmap)."""
+    has_bias = bias is not None
+
+    @jax.custom_vjp
+    def f(x, pt, vld, w, b):
+        return conv_x3(x, pt, vld, w, b if has_bias else None)
+
+    def f_fwd(x, pt, vld, w, b):
+        return f(x, pt, vld, w, b), (x, pt, vld, w)
+
+    def f_bwd(res, gy):
+        x, pt, vld, w = res
+        K, Cin, Cout = w.shape
+        dx = conv_x3(gy, flip_xpack_tables(pt), vld, w.transpose(0, 2, 1))
+        dx = jnp.where(vld[:, None], dx, 0.0)
+        gcat = _xpack_gcat(x, pt, vld)                     # (N, K*Cin)
+        dw = jnp.dot(gcat.T, gy,
+                     preferred_element_type=jnp.float32).reshape(
+            K, Cin, Cout)
+        db = jnp.sum(gy, 0) if has_bias else jnp.zeros((0,), gy.dtype)
+        return (dx.astype(x.dtype), np.zeros(pt.shape, jax.dtypes.float0),
+                np.zeros(vld.shape, jax.dtypes.float0),
+                dw.astype(w.dtype), db)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(features, ptab, valid, weights,
+             bias if has_bias else jnp.zeros((0,), features.dtype))
+
+
+def _xpack_strided_vjp(features, ptab, valid, inv_table, weights, bias):
+    """conv_x3 on STRIDED packed tables with a custom VJP: dx is a stacked
+    gather over the precomputed inverse table (`strided_inverse_table` —
+    strided tables are not offset-symmetric), dw reuses the slab-gathered
+    block (gcat^T @ gy)."""
+    has_bias = bias is not None
+
+    @jax.custom_vjp
+    def f(x, pt, vld, itab, w, b):
+        return conv_x3(x, pt, vld, w, b if has_bias else None)
+
+    def f_fwd(x, pt, vld, itab, w, b):
+        return f(x, pt, vld, itab, w, b), (x, pt, vld, itab, w)
+
+    def f_bwd(res, gy):
+        x, pt, vld, itab, w = res
+        K, Cin, Cout = w.shape
+        dx = _gather_conv(gy, itab, w.transpose(0, 2, 1), None, None,
+                          "stacked")
+        gcat = _xpack_gcat(x, pt, vld)
+        dw = jnp.dot(gcat.T, gy,
+                     preferred_element_type=jnp.float32).reshape(
+            K, Cin, Cout)
+        db = jnp.sum(gy, 0) if has_bias else jnp.zeros((0,), gy.dtype)
+        return (dx.astype(x.dtype), np.zeros(pt.shape, jax.dtypes.float0),
+                np.zeros(vld.shape, jax.dtypes.float0),
+                np.zeros(itab.shape, jax.dtypes.float0),
+                dw.astype(w.dtype), db)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(features, ptab, valid, inv_table, weights,
+             bias if has_bias else jnp.zeros((0,), features.dtype))
 
 
 def _gather_conv(features, table, weights, bias, compute_dtype, algo):
@@ -484,9 +571,16 @@ def subm_conv_apply(features, table, weights, bias=None,
     to the differentiable loop/stacked paths.
     """
     if algo == "xpack":
-        # x-packed inference path: `table` is (packed_tables, input_valid)
-        # from subm_xpack_tables / strided_xpack_tables (see conv_x3)
+        # x-packed path: `table` is (packed_tables, input_valid) from
+        # subm_xpack_tables / strided_xpack_tables (see conv_x3). Under
+        # training the custom VJPs keep backward at x-packed speed too.
         ptab, valid_in = table
+        if symmetric:
+            return _xpack_conv_sym_vjp(features, ptab, valid_in, weights,
+                                       bias)
+        if inverse_table is not None:
+            return _xpack_strided_vjp(features, ptab, valid_in,
+                                      inverse_table, weights, bias)
         return conv_x3(features, ptab, valid_in, weights, bias)
     if isinstance(table, tuple):
         # packed tables handed to a non-xpack algo (wide stages keep the

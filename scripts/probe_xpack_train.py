@@ -57,8 +57,10 @@ def main():
     tab27 = SC.unpack_xpack_tables(ptab, V)
     dx_ref = jax.grad(lambda xx: jnp.sum(SC._gather_conv(
         xx, tab27, w, None, None, "stacked") * gy))(x)
-    w_rev = w[::-1].transpose(0, 2, 1)
-    dx_new = SC.conv_x3(gy, flip_ptab(ptab), grid.valid, w_rev)
+    # flip_ptab already aligns k <-> 26-k, so W needs only the per-k
+    # transpose (no reversal)
+    dx_new = SC.conv_x3(gy, flip_ptab(ptab), grid.valid,
+                        w.transpose(0, 2, 1))
     dx_new = jnp.where(grid.valid[:, None], dx_new, 0.0)
     err = float(jnp.max(jnp.abs(dx_ref - dx_new)))
     print(f"flip-transpose max err: {err:.2e}", flush=True)

@@ -476,3 +476,81 @@ def test_encoder_assume_sorted_matches_on_voxelizer_output():
     out_a = enc_a.apply(variables, feats, coords, vvalid, False)
     out_b = enc_b.apply(variables, feats, coords, vvalid, False)
     np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_xpack_sym_vjp_matches_autodiff():
+    """The x-packed submanifold custom VJP (flipped conv_x3 dx, slab-block
+    dw) must match plain autodiff of the stacked contraction."""
+    dims = (8, 10, 12)
+    coords, valid, feats = _rand_sparse(51, dims, C=4)
+    rng = np.random.default_rng(52)
+    Cin, Cout = 4, 6
+    W = rng.normal(size=(27, Cin, Cout)).astype(np.float32) * 0.1
+    b = rng.normal(size=(Cout,)).astype(np.float32)
+
+    grid = SC.make_grid(jnp.asarray(coords), jnp.asarray(valid), dims)
+    ptab = SC.subm_xpack_tables(grid, dims)
+    tab27 = SC.unpack_xpack_tables(ptab, grid.ids.shape[0])
+    order = np.argsort(np.where(valid,
+                                (coords[:, 0] * dims[1] + coords[:, 1])
+                                * dims[2] + coords[:, 2], np.prod(dims)))
+    x = jnp.asarray(feats[order])
+    gy = jnp.asarray(rng.normal(
+        size=(grid.ids.shape[0], Cout)).astype(np.float32))
+    gy = jnp.where(grid.valid[:, None], gy, 0.0)
+
+    def loss_x3(x, w, bb):
+        out = SC.subm_conv_apply(x, (ptab, grid.valid), w, bb, algo="xpack",
+                                 symmetric=True)
+        return jnp.sum(out * gy)
+
+    def loss_ref(x, w, bb):
+        out = SC._gather_conv(x, tab27, w, bb, None, "stacked")
+        return jnp.sum(out * gy)
+
+    gs = jax.grad(loss_x3, argnums=(0, 1, 2))(x, jnp.asarray(W),
+                                              jnp.asarray(b))
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, jnp.asarray(W),
+                                               jnp.asarray(b))
+    for a, r in zip(gs, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_xpack_strided_vjp_matches_autodiff():
+    """The x-packed strided custom VJP (inverse-table dx, slab-block dw)
+    must match autodiff of the stacked strided contraction."""
+    dims = (8, 10, 12)
+    coords, valid, feats = _rand_sparse(61, dims, C=4)
+    rng = np.random.default_rng(62)
+    Cin, Cout = 4, 6
+    W = rng.normal(size=(27, Cin, Cout)).astype(np.float32) * 0.1
+
+    grid = SC.make_grid(jnp.asarray(coords), jnp.asarray(valid), dims)
+    out_dims = tuple(max((d + 1) // 2, 1) for d in dims)
+    ngrid = SC.downsample_coords(grid, out_dims, 64)
+    ptab = SC.strided_xpack_tables(grid, ngrid, dims)
+    dtab = SC.strided_gather_table(grid, ngrid, dims)
+    inv = SC.strided_inverse_table(
+        grid, out_dims, SC._dense_rows_ov(ngrid, out_dims), ov=True)
+    order = np.argsort(np.where(valid,
+                                (coords[:, 0] * dims[1] + coords[:, 1])
+                                * dims[2] + coords[:, 2], np.prod(dims)))
+    x = jnp.asarray(feats[order])
+    gy = jnp.asarray(rng.normal(size=(64, Cout)).astype(np.float32))
+    gy = jnp.where(ngrid.valid[:, None], gy, 0.0)
+
+    def loss_x3(x, w):
+        out = SC.subm_conv_apply(x, (ptab, grid.valid), w, algo="xpack",
+                                 inverse_table=inv)
+        return jnp.sum(out * gy)
+
+    def loss_ref(x, w):
+        out = SC._gather_conv(x, dtab, w, None, None, "stacked")
+        return jnp.sum(out * gy)
+
+    gs = jax.grad(loss_x3, argnums=(0, 1))(x, jnp.asarray(W))
+    gr = jax.grad(loss_ref, argnums=(0, 1))(x, jnp.asarray(W))
+    for a, r in zip(gs, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
