@@ -98,6 +98,69 @@ def apply_train_augmentations(gt_boxes, points, rng, *, rot_noise,
                      "trans": trans}
 
 
+def warp_bev_map(bev, aug, pc_range):
+    """Warp the rasterized ego BEV map with the SAME global augmentation that
+    was applied to the points/boxes, so the map branch (n3dtfm configs) trains
+    on geometrically consistent input.
+
+    Behavioral counterpart of the reference's `get_mask`
+    (`det3d/datasets/pipelines/preprocess.py:75-90`, applied at :212 with the
+    `flip_aug/rot_aug/scale_aug/trans_aug` params of the SAME Preprocess call).
+    The reference composes cv2 warps whose translation step applies the
+    metric noise directly as PIXELS (:84-88 — at the 180 px / 108 m canvas
+    that is a 0.6x error); here the warp is one geometrically exact
+    inverse-mapped bilinear resample in world coordinates.
+
+    bev: (H, W) or (H, W, C) in CANVAS orientation — row = y bin from
+    pc_range[1], col = x bin from pc_range[0] (the data/targets.py heatmap
+    convention, `ind = y * W + x`). aug: dict from
+    `apply_train_augmentations` ({flips, rot, scale, trans}).
+    Out-of-range source regions become 0 (cv2 BORDER_CONSTANT parity).
+    """
+    bev = np.asarray(bev, np.float32)
+    squeeze = bev.ndim == 2
+    if squeeze:
+        bev = bev[..., None]
+    H, W = bev.shape[:2]
+    sx = (pc_range[3] - pc_range[0]) / W
+    sy = (pc_range[4] - pc_range[1]) / H
+    # destination pixel centers in (augmented) world coordinates
+    xs = pc_range[0] + (np.arange(W) + 0.5) * sx
+    ys = pc_range[1] + (np.arange(H) + 0.5) * sy
+    gx, gy = np.meshgrid(xs, ys)
+    # invert aug = T . S . R . F  (flip, rotate, scale, translate):
+    # g^-1 = F . R^-1 . S^-1 . T^-1
+    t = np.asarray(aug.get("trans", np.zeros(3)), np.float64)
+    gx = gx - t[0]
+    gy = gy - t[1]
+    s = float(aug.get("scale", 1.0))
+    gx, gy = gx / s, gy / s
+    rot = float(aug.get("rot", 0.0))
+    c_, s_ = np.cos(-rot), np.sin(-rot)
+    gx, gy = gx * c_ - gy * s_, gx * s_ + gy * c_
+    flips = aug.get("flips", (False, False))
+    if flips[0]:   # x-flip mirrors y (random_flip_both above)
+        gy = -gy
+    if flips[1]:   # y-flip mirrors x
+        gx = -gx
+    # world -> continuous source pixel index (centers at +0.5)
+    fc = (gx - pc_range[0]) / sx - 0.5
+    fr = (gy - pc_range[1]) / sy - 0.5
+    r0 = np.floor(fr).astype(np.int64)
+    c0 = np.floor(fc).astype(np.int64)
+    ar = (fr - r0).astype(np.float32)
+    ac = (fc - c0).astype(np.float32)
+    out = np.zeros_like(bev)
+    for dr in (0, 1):
+        for dc in (0, 1):
+            rr, cc = r0 + dr, c0 + dc
+            wgt = (ar if dr else 1 - ar) * (ac if dc else 1 - ac)
+            ok = (rr >= 0) & (rr < H) & (cc >= 0) & (cc < W)
+            out += ((wgt * ok)[..., None]
+                    * bev[np.clip(rr, 0, H - 1), np.clip(cc, 0, W - 1)])
+    return out[..., 0] if squeeze else out
+
+
 # ---------------------------------------------------------------------------
 # per-object noise (ref noise_per_object_v3_, preprocess.py:567-744)
 # ---------------------------------------------------------------------------

@@ -249,10 +249,11 @@ class NuScenesForecastDataset:
                         str(sampled["gt_trajectory"][j]), 1)
                 pts = np.concatenate(
                     [sampled["points"][:, :pts.shape[1]], pts], 0)
+        aug = None
         if self.train:
             gtb = gt_boxes.copy()
             gtb[~gt_valid] = 0
-            gtb, pts, _ = apply_train_augmentations(
+            gtb, pts, aug = apply_train_augmentations(
                 gtb, pts, self.rng, rot_noise=cfg.data.global_rot_noise,
                 scale_noise=cfg.data.global_scale_noise,
                 translate_std=cfg.data.global_translate_std)
@@ -273,6 +274,17 @@ class NuScenesForecastDataset:
         if cfg.model.head.bev_map:
             bev = np.asarray(info.get("bev", np.zeros((180, 180))),
                              np.float32)
+            # stored format (infos.py / ref nusc_common.py:508-509) is the
+            # map-IMAGE orientation: row 0 = max ego y. Flip to the canvas
+            # orientation (row = y bin increasing, the targets.py heatmap
+            # convention) so the map channel is spatially aligned with the
+            # feature map it is concatenated to.
+            bev = np.ascontiguousarray(np.flipud(bev))
+            if aug is not None:
+                # warp with the SAME global aug as points/boxes (ref
+                # get_mask at preprocess.py:212; see warp_bev_map)
+                from .augment import warp_bev_map
+                bev = warp_bev_map(bev, aug, cfg.voxel.pc_range)
             if bev.ndim == 2:
                 bev = bev[..., None]
             out["bev_map"] = bev / 255.0 if bev.max() > 1.5 else bev

@@ -139,6 +139,25 @@ def make_scene(cfg: ExperimentConfig, n_objects: int = 12,
                  gt_classes=gt_classes, gt_valid=gt_valid, traj_classes=traj)
 
 
+def rasterize_scene_map(cfg: ExperimentConfig, scene: Scene,
+                        road_halfwidth: float = 3.0) -> np.ndarray:
+    """Synthetic drivable-area raster: cells within `road_halfwidth` metres
+    of any valid object's center at any timestep are road (1.0). Canvas
+    orientation (row = y bin, col = x bin — data/targets.py convention)."""
+    W, H = cfg.feature_map_size
+    pc = cfg.voxel.pc_range
+    sx = (pc[3] - pc[0]) / W
+    sy = (pc[4] - pc[1]) / H
+    xs = pc[0] + (np.arange(W) + 0.5) * sx
+    ys = pc[1] + (np.arange(H) + 0.5) * sy
+    gx, gy = np.meshgrid(xs, ys)
+    out = np.zeros((H, W), np.float32)
+    centers = scene.gt_boxes[scene.gt_valid][:, :2]
+    for cx, cy in centers:
+        out[(gx - cx) ** 2 + (gy - cy) ** 2 <= road_halfwidth ** 2] = 1.0
+    return out
+
+
 def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
                **kw) -> Dict[str, np.ndarray]:
     """Stacked batch of scenes + targets (host numpy; targets built on device
@@ -162,10 +181,12 @@ def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
         batch["targets"]["gt_valid"] = jnp.asarray(
             np.stack([s.gt_valid[0] for s in scenes]))
     if cfg.model.head.bev_map:
-        # synthetic scenes carry no HD map; the rasterized ego-map branch
-        # (ref nusc_common.py:508-509) gets a zero canvas
-        W, H = cfg.feature_map_size
-        batch["bev_map"] = jnp.zeros((batch_size, H, W, 1), jnp.float32)
+        # synthetic "drivable area": corridor cells under each object's
+        # trajectory (stands in for the rasterized ego map the reference
+        # stores per info, nusc_common.py:508-509) — canvas orientation,
+        # so the map channel carries real signal in n3dtfm tests
+        batch["bev_map"] = jnp.asarray(np.stack(
+            [rasterize_scene_map(cfg, s)[..., None] for s in scenes]))
     batch["gt"] = {
         "boxes": np.stack([s.gt_boxes for s in scenes]),
         "classes": np.stack([s.gt_classes for s in scenes]),

@@ -121,13 +121,18 @@ class VoxelNetDetector(nn.Module):
             # the Pallas windowed gather's exactness cond degenerates to
             # select-both under vmap — use the plain path when batched
             algo = "loop" if algo.startswith("window") else "stacked"
+        # a generative downsample stage can have up to 8x its input's active
+        # sites (footprint rule), so cap each stage by min(config budget,
+        # 8 * previous stage's cap) — in practice the config budgets bind,
+        # but a small voxelizer cap still shrinks the whole chain
+        caps, prev = [], max_v
+        for s, v in enumerate(c.model.middle_vmax):
+            cap = min(v, prev if s == 0 else 8 * prev)
+            caps.append(cap)
+            prev = cap
         mid_kwargs = dict(
             channels=c.model.middle_channels,
-            # a downsample stage cannot have more active sites than its
-            # input, so capacities beyond the voxelizer cap are pure
-            # padding waste (e.g. 30k-voxel eval on the default
-            # (120k,60k,30k,16k) capacities would run stage 1 at 2x size)
-            vmax=tuple(min(v, max_v) for v in c.model.middle_vmax),
+            vmax=tuple(caps),
             grid_zyx=(gz + 1, gy, gx),
             dense_from_stage=c.model.middle_dense_from_stage,
             dense_dtype=(jnp.bfloat16
@@ -145,7 +150,8 @@ class VoxelNetDetector(nn.Module):
             enc = SparseMiddleEncoder(**mid_kwargs,
                                       axis_name=self.axis_name,
                                       name="middle")
-            x = enc(feats[0], coords[0], vvalid[0], train)[None]
+            x, zmask = enc(feats[0], coords[0], vvalid[0], train)
+            x, zmask = x[None], zmask[None]
         else:
             bn_axes = ("batch",) if self.axis_name is None \
                 else ("batch", self.axis_name)
@@ -156,13 +162,24 @@ class VoxelNetDetector(nn.Module):
                 split_rngs={"params": False}, axis_name="batch",
                 methods=["__call__"])(
                     **mid_kwargs, axis_name=bn_axes, name="middle")
-            x = mid(feats, coords, vvalid, train)      # (B, Y8, X8, Z4*128)
+            x, zmask = mid(feats, coords, vvalid, train)  # (B, Y8, X8, Z4*128)
         if self.canvas_sharding is not None:
             x = jax.lax.with_sharding_constraint(x, self.canvas_sharding)
 
         x = ConvBNReLU(c.model.rpn.in_channels, 1, 1, use_bias=False,
                        compute_dtype=c.model.compute_dtype,
                        axis_name=self.axis_name, name="z_crush")(x, train)
+        # re-mask with the ref extra_conv's active sites (spconv .dense()
+        # zeros them; the dense BN(0)+ReLU above does not). Channel j of the
+        # z_crush output carries (c = j // Dz, d = j % Dz) in the reference's
+        # C-major .dense() layout (scn.py:165-168) under checkpoint
+        # conversion — tile matches d = j % Dz.
+        Dz = zmask.shape[-1]
+        if x.shape[-1] % Dz == 0:
+            x = x * jnp.tile(zmask.astype(x.dtype),
+                             (1, 1, 1, x.shape[-1] // Dz))
+        else:
+            x = x * zmask.any(-1, keepdims=True).astype(x.dtype)
 
         x = RPN(layer_nums=c.model.rpn.layer_nums,
                 ds_strides=c.model.rpn.ds_strides,

@@ -146,7 +146,11 @@ def center_head_loss(cfg: HeadConfig, preds: List[Dict[str, jax.Array]],
             loc = jnp.sum(bl * cw)
         elif cfg.sparse:
             # task 0 = forward chain anchored at t=0; task 1 = reverse chain
-            # anchored at t=T-1 (ref :411,:427-432,:487)
+            # anchored at t=T-1 (ref :411,:427-432,:487). Quirk preserved:
+            # the box target is anno_box[t=0] for BOTH tasks — task 1 indexes
+            # its REVERSED target list at (T-1), which is timestep 0 again
+            # (ref :432,:487: target_box[::-1][(T-1)*task_id]) — while its
+            # mask/ind come from timestep T-1.
             t_anchor = (T - 1) * task_id
             hm_loss = fast_focal_loss(hm_pred, hm_t[:, t_anchor],
                                       ind_t[:, t_anchor], mask_t[:, t_anchor],
@@ -154,7 +158,7 @@ def center_head_loss(cfg: HeadConfig, preds: List[Dict[str, jax.Array]],
             loc = 0.0
             for i in range(T):
                 box = assemble_anno_box(pd, cfg, i)
-                tgt = anno_t[:, t_anchor][..., cols]
+                tgt = anno_t[:, 0][..., cols]
                 bl = reg_loss(box, mask_t[:, t_anchor], ind_t[:, t_anchor], tgt)
                 loc = loc + jnp.sum(bl * (cw if i == 0 else cwf))
         elif cfg.reverse:

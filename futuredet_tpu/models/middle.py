@@ -81,6 +81,7 @@ class DenseConv3d(nn.Module):
     stride: int = 1
     use_bias: bool = True
     compute_dtype: Optional[jnp.dtype] = None
+    pads: Tuple[int, int, int] = (1, 1, 1)
 
     @nn.compact
     def __call__(self, canvas):
@@ -93,7 +94,7 @@ class DenseConv3d(nn.Module):
             canvas[None].astype(cd),
             w.reshape(3, 3, 3, cin, self.features).astype(cd),
             window_strides=(self.stride,) * 3,
-            padding=[(1, 1)] * 3,
+            padding=[(p, p) for p in self.pads],
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             preferred_element_type=jnp.float32)[0]
         if b is not None:
@@ -101,12 +102,16 @@ class DenseConv3d(nn.Module):
         return y
 
 
-def _mask_downsample(mask, out_dims):
-    """Stride-2 any-pool of a (Z, Y, X) bool mask == dedupe(coords // 2)
-    active-site semantics of `downsample_coords` (without the vmax cap)."""
-    pads = [(0, 2 * o - d) for o, d in zip(out_dims, mask.shape)]
-    return jax.lax.reduce_window(
-        mask, False, jax.lax.bitwise_or, (2, 2, 2), (2, 2, 2), pads)
+def _mask_downsample(mask, out_dims, pads=(1, 1, 1)):
+    """Kernel-3 stride-2 footprint any-pool of a (Z, Y, X) bool mask == the
+    generative active-site semantics of `downsample_coords` (without the
+    vmax cap): an output cell is active iff any input cell under its conv
+    window is."""
+    win_pads = [(p, p) for p in pads]
+    out = jax.lax.reduce_window(
+        mask, False, jax.lax.bitwise_or, (3, 3, 3), (2, 2, 2), win_pads)
+    assert out.shape == tuple(out_dims), (out.shape, out_dims)
+    return out
 
 
 class DenseBasicBlock(nn.Module):
@@ -186,7 +191,8 @@ class SparseMiddleEncoder(nn.Module):
     def __call__(self, voxel_feats, coords_zyx, voxel_valid,
                  train: bool = False):
         """voxel_feats (V0, C), coords (V0, 3) zyx, valid (V0,) ->
-        dense BEV (Y/8, X/8, channels[-1] * Z4)."""
+        (dense BEV (Y/8, X/8, channels[-1] * Z4),
+         extra-conv active z-mask (Y/8, X/8, Dz_out))."""
         dense_start = (self.dense_from_stage
                        if self.dense_from_stage is not None else 4)
         # the Pallas windowed gather has no AD rule — training falls back
@@ -291,17 +297,24 @@ class SparseMiddleEncoder(nn.Module):
                                      name=f"res0_{j}")(x, table, grid.valid,
                                                        train)
 
-        # stages 1..3: strided down + 2 residual blocks (ref :109-137)
+        # stages 1..3: strided down + 2 residual blocks (ref :109-137).
+        # Stage 3 uses z padding 0 (ref conv4 padding=[0,1,1], scn.py:129),
+        # giving the reference's 41->21->11->5 depth chain; degenerate tiny
+        # z-geometries fall back to pad 1 so the stage stays well-formed.
         for s in range(1, 4):
-            out_dims = tuple(max((d + 1) // 2, 1) for d in dims)
+            pads = (0, 1, 1) if s == 3 else (1, 1, 1)
+            if (dims[0] + 2 * pads[0] - 3) // 2 + 1 < 1:
+                pads = (1, 1, 1)
+            out_dims = tuple((d + 2 * p - 3) // 2 + 1
+                             for d, p in zip(dims, pads))
             if s >= dense_start:
                 if canvas is None:    # sparse -> dense transition
                     canvas, mask = to_dense(x, grid, dims)
                 canvas = DenseConv3d(self.channels[s], use_bias=False,
-                                     stride=2,
+                                     stride=2, pads=pads,
                                      compute_dtype=self.dense_dtype,
                                      name=f"down{s}")(canvas)
-                mask = _mask_downsample(mask, out_dims)
+                mask = _mask_downsample(mask, out_dims, pads)
                 canvas = jnp.where(
                     mask[..., None],
                     nn.relu(bn_dense(f"bn_down{s}", canvas, mask)), 0.0)
@@ -312,21 +325,23 @@ class SparseMiddleEncoder(nn.Module):
                         compute_dtype=self.dense_dtype,
                         name=f"res{s}_{j}")(canvas, mask, train)
             else:
-                ngrid = downsample_coords(grid, out_dims, self.vmax[s])
+                ngrid = downsample_coords(grid, out_dims, self.vmax[s], pads)
                 a_prev, a_s = stage_algo(s - 1), stage_algo(s)
                 # the strided conv reads the PREVIOUS stage's grid/map
                 if packed_layout:
                     dtable = (strided_xpack_tables(grid, ngrid, dims,
-                                                   dense_ov=dense_map),
+                                                   dense_ov=dense_map,
+                                                   pads=pads),
                               grid.valid)
                 else:
                     dtable = strided_gather_table(grid, ngrid, dims,
-                                                  dense_rows=dense_map)
+                                                  dense_rows=dense_map,
+                                                  pads=pads)
                 ndense_map = make_map(ngrid, out_dims)
                 # inverse table only feeds the strided conv's custom VJP —
                 # skip the build at eval
                 inv = strided_inverse_table(grid, out_dims, ndense_map,
-                                            ov=packed_layout) \
+                                            ov=packed_layout, pads=pads) \
                     if train else None
                 x = SparseConv(self.channels[s], use_bias=False,
                                gather_algo=a_prev,
@@ -351,5 +366,17 @@ class SparseMiddleEncoder(nn.Module):
         if canvas is None:
             x = jnp.where(grid.valid[:, None], x, 0.0)
             canvas = scatter_dense(x, grid, dims)      # (Z, Y, X, C)
+            mask = scatter_dense(grid.valid[:, None].astype(jnp.float32),
+                                 grid, dims)[..., 0] > 0
         Z, Y, X, C = canvas.shape
-        return canvas.transpose(1, 2, 0, 3).reshape(Y, X, Z * C)
+        # active-site mask of the ref extra_conv output ((3,1,1) stride
+        # (2,1,1) pad 0 generative rule): the detector's z_crush output must
+        # be re-masked with it — ref .dense() leaves those sites exactly 0
+        # while a dense BN(0)+ReLU after the folded conv would not be
+        if Z >= 3:
+            dz = (Z - 3) // 2 + 1
+            zmask = jnp.stack([mask[2 * d:2 * d + 3].any(0)
+                               for d in range(dz)], -1)      # (Y, X, dz)
+        else:
+            zmask = mask.any(0)[..., None]
+        return canvas.transpose(1, 2, 0, 3).reshape(Y, X, Z * C), zmask

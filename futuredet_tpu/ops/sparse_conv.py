@@ -239,20 +239,22 @@ def subm_xpack_tables(grid: SparseGrid, dims,
 
 
 def strided_xpack_tables(in_grid: SparseGrid, out_grid: SparseGrid, dims,
-                         dense_ov: jax.Array | None = None) -> jax.Array:
-    """Packed x-triple tables for the kernel-3 stride-2 pad-1 conv: middle
-    cell of each triple = 2*out_coords + (dz, dy, 0). `dims` = INPUT grid
-    dims."""
+                         dense_ov: jax.Array | None = None,
+                         pads: Tuple[int, int, int] = (1, 1, 1)) -> jax.Array:
+    """Packed x-triple tables for the kernel-3 stride-2 conv with per-axis
+    padding `pads`: middle cell of each triple = 2*out_coords +
+    (dz + 1 - pz, dy + 1 - py, 1 - px). `dims` = INPUT grid dims."""
     if dense_ov is None:
         dense_ov = _dense_rows_ov(in_grid, dims)
     offs = np.array(_OFFS9, np.int32)
-    c = 2 * out_grid.coords[None, :, :] + offs[:, None, :]
+    shift = np.array([1 - pads[0], 1 - pads[1], 1 - pads[2]], np.int32)
+    c = 2 * out_grid.coords[None, :, :] + offs[:, None, :] + shift
     inb = jnp.all((c[..., :2] >= 0)
                   & (c[..., :2] < jnp.asarray(dims[:2], jnp.int32)), -1)
     inb &= (c[..., 2] >= 0) & (c[..., 2] < dims[2])
     q = (c[..., 0] * dims[1] + c[..., 1]) * dims[2] + c[..., 2]
     V = in_grid.ids.shape[0]
-    return _xpack_tables(q, 2 * out_grid.coords[:, 2],
+    return _xpack_tables(q, 2 * out_grid.coords[:, 2] + shift[2],
                          inb & out_grid.valid[None, :], dims, dense_ov, V)
 
 
@@ -474,18 +476,21 @@ def _subm_conv_sym_vjp(features, table, weights, bias, compute_dtype, algo):
 
 def strided_inverse_table(in_grid: SparseGrid, out_dims,
                           dense_rows_out: jax.Array,
-                          kernel: int = 3, ov: bool = False) -> jax.Array:
+                          kernel: int = 3, ov: bool = False,
+                          pads: Tuple[int, int, int] = (1, 1, 1)) -> jax.Array:
     """(K, V_in) indices into OUTPUT sites: row k holds the output site o
     (V_out where none) with `strided_gather_table`'s tab[k][o] == u, i.e.
-    2*o_coords + offs[k] == in_coords[u]. Each input site feeds at most one
-    output per offset (oc = (c - off) / 2 when the parity matches), so the
-    transpose of a strided conv is again a gather — used by its custom VJP.
+    2*o_coords + offs[k] + (1 - pads) == in_coords[u]. Each input site feeds
+    at most one output per offset (oc = (c - off - 1 + pad) / 2 when the
+    parity matches), so the transpose of a strided conv is again a gather —
+    used by its custom VJP.
     `dense_rows_out` = `_dense_index_rows(out_grid, out_dims)`, or the
     `_dense_rows_ov` overlapped map with `ov=True` (the packed-table
     layout, so training can reuse the 9-probe builds' maps)."""
     total = out_dims[0] * out_dims[1] * out_dims[2]
     offs = np.array(_offsets(kernel), np.int32)              # (K, 3)
-    num = in_grid.coords[None, :, :] - offs[:, None, :]      # (K, V, 3)
+    shift = np.array([1 - pads[0], 1 - pads[1], 1 - pads[2]], np.int32)
+    num = in_grid.coords[None, :, :] - offs[:, None, :] - shift  # (K, V, 3)
     even = jnp.all(num % 2 == 0, axis=-1)
     oc = num // 2
     inb = jnp.all((oc >= 0) & (oc < jnp.asarray(out_dims, jnp.int32)),
@@ -623,25 +628,45 @@ def subm_conv_apply(features, table, weights, bias=None,
 
 
 def downsample_coords(grid: SparseGrid, out_dims: Tuple[int, int, int],
-                      max_out: int) -> SparseGrid:
-    """Output sites of a stride-2 sparse conv: dedupe(coords // 2).
+                      max_out: int,
+                      pads: Tuple[int, int, int] = (1, 1, 1)) -> SparseGrid:
+    """Output sites of a kernel-3 stride-2 sparse conv with per-axis padding
+    `pads` — spconv's GENERATIVE rule: every output position that receives at
+    least one active input under the conv footprint is active. Matches the
+    reference's SparseConv3d site semantics exactly (scn.py:109-146; note
+    conv4 uses z padding 0, giving the 41->21->11->5 depth chain).
 
-    Deduped ids are compacted by a single-key SORT of the run-first
-    positions (TPU scatters are issue-bound; the sort+gather is cheaper)
-    and coords are decoded from the ids."""
+    Per axis, input p reaches q = (p + pad - k) / 2 for k in {0, 1, 2} of
+    matching parity: always hi = (p + pad) // 2, plus hi - 1 when p + pad is
+    even — so each active input yields up to 8 candidate output sites.
+    Candidates are deduped by a sort + run-boundary compaction (TPU scatters
+    are issue-bound; the sort+gather is cheaper) and coords are decoded from
+    the ids. Overflow past `max_out` drops the largest linear ids."""
     sentinel = out_dims[0] * out_dims[1] * out_dims[2]
-    c2 = grid.coords // 2
-    ids = jnp.where(grid.valid, linear_ids(c2, out_dims), sentinel)
-    sids = jnp.sort(ids)
-    V = sids.shape[0]
+    p = grid.coords + jnp.asarray(pads, jnp.int32)
+    hi = p // 2                                    # (V, 3)
+    has2 = (p % 2) == 0          # second candidate hi-1 exists per axis
+    odz = jnp.asarray(out_dims, jnp.int32)
+    cands = []
+    for bz in (0, 1):
+        for by in (0, 1):
+            for bx in (0, 1):
+                sel = np.array([bz, by, bx], np.int32)
+                q = hi - sel
+                ok = grid.valid & jnp.all((q >= 0) & (q < odz), -1)
+                ok &= jnp.all((sel == 0) | has2, -1)
+                cands.append(jnp.where(ok, linear_ids(q, out_dims),
+                                       sentinel))
+    sids = jnp.sort(jnp.concatenate(cands))
+    n_all = sids.shape[0]                          # 8V
     is_first = (sids < sentinel) & jnp.concatenate(
         [jnp.ones((1,), bool), sids[1:] != sids[:-1]])
-    pad_n = max(max_out - V, 0) + 1          # static; covers V < max_out
+    pad_n = max(max_out - n_all, 0) + 1      # static; covers n_all < max_out
     fp = jnp.sort(jnp.concatenate(
-        [jnp.where(is_first, jnp.arange(V, dtype=jnp.int32), V),
-         jnp.full((pad_n,), V, jnp.int32)]))[:max_out]
-    got = fp < V
-    out_ids = jnp.where(got, sids[jnp.minimum(fp, V - 1)], sentinel
+        [jnp.where(is_first, jnp.arange(n_all, dtype=jnp.int32), n_all),
+         jnp.full((pad_n,), n_all, jnp.int32)]))[:max_out]
+    got = fp < n_all
+    out_ids = jnp.where(got, sids[jnp.minimum(fp, n_all - 1)], sentinel
                         ).astype(jnp.int32)
     oz = out_ids // (out_dims[1] * out_dims[2])
     oy = (out_ids // out_dims[2]) % out_dims[1]
@@ -653,16 +678,18 @@ def downsample_coords(grid: SparseGrid, out_dims: Tuple[int, int, int],
 
 def strided_gather_table(in_grid: SparseGrid, out_grid: SparseGrid, dims,
                          kernel: int = 3,
-                         dense_rows: jax.Array | None = None) -> jax.Array:
-    """(K, V_out) indices into input sites for a kernel-3 stride-2 pad-1 conv:
-    input position for output o and offset k is 2*o + k - 1. `dims` = INPUT
-    grid dims. `dense_rows`: share the input grid's cell map (see
-    `neighbor_table`)."""
+                         dense_rows: jax.Array | None = None,
+                         pads: Tuple[int, int, int] = (1, 1, 1)) -> jax.Array:
+    """(K, V_out) indices into input sites for a kernel-3 stride-2 conv with
+    per-axis padding `pads`: input position for output o and offset index k
+    is 2*o + k - pad. `dims` = INPUT grid dims. `dense_rows`: share the
+    input grid's cell map (see `neighbor_table`)."""
     total = dims[0] * dims[1] * dims[2]
     dense = _dense_index_rows(in_grid, dims) if dense_rows is None \
         else dense_rows
     offs = np.array(_offsets(kernel), np.int32)            # (K, 3)
-    c = 2 * out_grid.coords[None, :, :] + offs[:, None, :]
+    shift = np.array([1 - pads[0], 1 - pads[1], 1 - pads[2]], np.int32)
+    c = 2 * out_grid.coords[None, :, :] + offs[:, None, :] + shift
     inb = jnp.all((c >= 0) & (c < jnp.asarray(dims, jnp.int32)), axis=-1)
     q = (c[..., 0] * dims[1] + c[..., 1]) * dims[2] + c[..., 2]
     q = jnp.where(inb & out_grid.valid[None, :], q, total)

@@ -285,6 +285,11 @@ def _compose_extra_conv(sd: Dict[str, np.ndarray], variables: dict) -> bool:
     need = 2 * co                              # ref flattens D_out=2 x 128
     if zk.shape[3] != need or cin_total % ci != 0:
         return False
+    # the ref z-conv arithmetic ((D - 3) // 2 + 1) must actually produce the
+    # 2-deep output the RPN weights expect — D in {5, 6} (full-size grids
+    # give exactly 5: 41 -> 21 -> 11 -> 5, scn.py:109-146)
+    if D not in (5, 6):
+        return False
     # ref extra_conv: kernel (3,1,1), stride (2,1,1), NO z padding: output
     # depth d reads z in {2d, 2d+1, 2d+2} (D=5 -> 2, scn.py:140-146).
     # Channel layouts: our middle flattens the z-stack z-major (z*C + c,

@@ -86,6 +86,108 @@ def test_full_sequence_keeps_points_inside_their_boxes():
 
 
 # ---------------------------------------------------------------------------
+# BEV-map warp: the map must track augmented world geometry (ref get_mask,
+# preprocess.py:75-90,212)
+# ---------------------------------------------------------------------------
+
+_PC = (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0)
+
+
+def _cell(x, y, H=180, W=180):
+    """world (x, y) -> continuous (row, col) on the canvas-oriented map."""
+    sx = (_PC[3] - _PC[0]) / W
+    return (y - _PC[1]) / sx - 0.5, (x - _PC[0]) / sx - 0.5
+
+
+def _blob_map(H, W, r, c, rad=2):
+    m = np.zeros((H, W), np.float32)
+    m[max(r - rad, 0):r + rad + 1, max(c - rad, 0):c + rad + 1] = 1.0
+    return m
+
+
+def _centroid(m):
+    rr, cc = np.mgrid[:m.shape[0], :m.shape[1]]
+    return (rr * m).sum() / m.sum(), (cc * m).sum() / m.sum()
+
+
+def _fwd_xy(p, aug):
+    """forward aug transform of a world point (flip -> rot -> scale -> trans,
+    the apply_train_augmentations order)."""
+    x, y = p
+    if aug["flips"][0]:
+        y = -y
+    if aug["flips"][1]:
+        x = -x
+    c, s = np.cos(aug["rot"]), np.sin(aug["rot"])
+    x, y = x * c - y * s, x * s + y * c
+    x, y = x * aug["scale"], y * aug["scale"]
+    return x + aug["trans"][0], y + aug["trans"][1]
+
+
+def test_warp_bev_map_identity_is_noop():
+    base = _blob_map(180, 180, 90, 40)
+    aug = {"flips": [False, False], "rot": 0.0, "scale": 1.0,
+           "trans": np.zeros(3)}
+    np.testing.assert_allclose(A.warp_bev_map(base, aug, _PC), base,
+                               atol=1e-6)
+
+
+def test_warp_bev_map_blob_tracks_each_transform():
+    p = (20.0, -10.0)
+    r0, c0 = _cell(*p)
+    base = _blob_map(180, 180, int(round(r0)), int(round(c0)))
+    zero = np.zeros(3)
+    augs = [
+        {"flips": [True, False], "rot": 0.0, "scale": 1.0, "trans": zero},
+        {"flips": [False, True], "rot": 0.0, "scale": 1.0, "trans": zero},
+        {"flips": [False, False], "rot": 0.6, "scale": 1.0, "trans": zero},
+        {"flips": [False, False], "rot": 0.0, "scale": 1.08, "trans": zero},
+        {"flips": [False, False], "rot": 0.0, "scale": 1.0,
+         "trans": np.array([3.0, -2.0, 0.0])},
+        {"flips": [True, True], "rot": -0.45, "scale": 0.93,
+         "trans": np.array([-1.5, 2.5, 0.0])},
+    ]
+    for aug in augs:
+        out = A.warp_bev_map(base, aug, _PC)
+        assert out.sum() > 0, aug
+        rr, cc = _centroid(out)
+        re, ce = _cell(*_fwd_xy(p, aug))
+        assert abs(rr - re) < 1.0 and abs(cc - ce) < 1.0, aug
+
+
+def test_warp_bev_map_consistent_with_apply_train_augmentations():
+    # a map blob under an object must still sit under that object after the
+    # points/boxes augmentation + the map warp (the n3dtfm train contract)
+    for seed in range(4):
+        rng = np.random.default_rng(100 + seed)
+        gt = np.zeros((1, 1, 12), np.float32)
+        gt[0, 0, :2] = rng.uniform(-25, 25, 2)
+        gt[0, 0, 3:6] = [2, 4.5, 1.6]
+        pts = np.zeros((10, 5), np.float32)
+        r0, c0 = _cell(*gt[0, 0, :2])
+        base = _blob_map(180, 180, int(round(r0)), int(round(c0)))
+        out_gt, _, aug = A.apply_train_augmentations(
+            gt, pts, rng, rot_noise=(-0.7, 0.7), scale_noise=(0.9, 1.1),
+            translate_std=1.0)
+        out = A.warp_bev_map(base, aug, _PC)
+        rr, cc = _centroid(out)
+        re, ce = _cell(*out_gt[0, 0, :2])
+        assert abs(rr - re) < 1.2 and abs(cc - ce) < 1.2, (seed, aug)
+
+
+def test_warp_bev_map_channels_and_zero_border():
+    base = np.stack([_blob_map(180, 180, 5, 5),
+                     _blob_map(180, 180, 174, 174)], -1)
+    aug = {"flips": [False, False], "rot": 0.0, "scale": 1.0,
+           "trans": np.array([-20.0, -20.0, 0.0])}
+    out = A.warp_bev_map(base, aug, _PC)
+    assert out.shape == base.shape
+    # channel 0's corner blob slid out of range -> zero-filled
+    assert out[..., 0].sum() < 1e-6
+    assert out[..., 1].sum() > 0
+
+
+# ---------------------------------------------------------------------------
 # per-object noise (noise_per_object_v3_) vs a verbatim loop oracle
 # ---------------------------------------------------------------------------
 

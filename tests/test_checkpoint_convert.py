@@ -58,16 +58,30 @@ def fabricate_state_dict(cfg, variables, rng):
             if ref_key.endswith("running_var"):
                 arr = np.abs(arr) + 0.5
             sd[ref_key] = arr
+    if cfg.model.detector == "voxelnet" and cfg.model.middle == "sparse":
+        # extra_conv is folded into z_crush, not key-mapped (scn.py:140-146)
+        co = cfg.model.middle_channels[-1]
+        sd["backbone.extra_conv.0.weight"] = \
+            rng.normal(0, 0.5, (3, 1, 1, co, co)).astype(np.float32)
+        sd["backbone.extra_conv.1.weight"] = \
+            rng.normal(0, 0.5, (co,)).astype(np.float32)
+        sd["backbone.extra_conv.1.bias"] = \
+            rng.normal(0, 0.5, (co,)).astype(np.float32)
+        sd["backbone.extra_conv.1.running_mean"] = \
+            rng.normal(0, 0.5, (co,)).astype(np.float32)
+        sd["backbone.extra_conv.1.running_var"] = \
+            (np.abs(rng.normal(0, 0.5, (co,))) + 0.5).astype(np.float32)
     return sd
 
 
-def _build_and_convert(name):
+def _build_and_convert(name, cfg=None):
     from futuredet_tpu.config import get_config, tiny_variant
     from futuredet_tpu.models.detector import build_detector
     from futuredet_tpu.utils.convert_checkpoint import \
         convert_reference_checkpoint
 
-    cfg = tiny_variant(get_config(name))
+    if cfg is None:
+        cfg = tiny_variant(get_config(name))
     model = build_detector(cfg)
     P = 64
     pts = np.zeros((1, P, 5), np.float32)
@@ -78,6 +92,27 @@ def _build_and_convert(name):
                               np.random.default_rng(0))
     conv = convert_reference_checkpoint(sd, cfg, variables)
     return cfg, model, variables, sd, conv
+
+
+def _foldable_voxelnet_cfg():
+    """Tiny-xy / FULL-z forecast_n3dtf geometry: the reference z chain is
+    architectural (41 -> 21 -> 11 -> 5 -> extra_conv -> 2, scn.py:98-146),
+    so the oracle config keeps the 40-bin z grid and shrinks only xy.
+    middle_vmax chosen so no stage can overflow (stage s sites <= min(
+    8 * prev, out-grid cells))."""
+    import dataclasses
+
+    from futuredet_tpu.config import VoxelConfig, get_config, tiny_variant
+
+    cfg = tiny_variant(get_config("forecast_n3dtf"))
+    voxel = VoxelConfig(
+        pc_range=(-8.0, -8.0, -5.0, 8.0, 8.0, 3.0),
+        voxel_size=(0.5, 0.5, 0.2),          # grid (32, 32, 40) -> D0 = 41
+        max_points_per_voxel=8, max_voxels_train=512, max_voxels_eval=512,
+        max_points=1024)
+    model = dataclasses.replace(cfg.model,
+                                middle_vmax=(512, 4096, 704, 80))
+    return cfg.replace(model=model, voxel=voxel)
 
 
 def test_fabricated_coverage_pp():
@@ -247,6 +282,140 @@ def torch_head_forward(sd, cfg, x):
             ret[name] = y
         rets.append(ret)
     return rets
+
+
+# ---------------------------------------------------------------------------
+# pure-torch functional re-execution of the reference sparse VoxelNet middle
+# encoder (SpMiddleResNetFHD, scn.py:84-177) via masked dense conv3d
+# ---------------------------------------------------------------------------
+
+def _spconv_w(sd, key):
+    """spconv weight (kd, kh, kw, ci, co) -> torch conv3d (co, ci, kd, kh, kw)."""
+    return torch.from_numpy(sd[key]).permute(4, 3, 0, 1, 2).contiguous()
+
+
+def torch_scn_forward(sd, cfg, pts_np):
+    """ref mean-VFE (voxel_encoder.py:9-24) + SpMiddleResNetFHD
+    (scn.py:84-177) from a state dict, emulated densely:
+
+      * SubMConv3d  == dense conv3d (pad 1) re-masked to the input sites
+      * SparseConv3d == dense strided conv3d; new active mask = any input
+        under the conv footprint (spconv's generative rule)
+      * BN1d eps 1e-3 applied as the eval-mode affine, then re-masked
+        (spconv applies it to active features only; inactive stay 0)
+      * extra_conv (3,1,1) stride (2,1,1) pad 0, then .dense() +
+        view(N, C*D, H, W) (scn.py:140-175)
+
+    Returns the (1, C*D, H, W) tensor the ref RPN consumes."""
+    vx, vy, vz = cfg.voxel.voxel_size
+    x0, y0, z0 = cfg.voxel.pc_range[:3]
+    gx, gy, gz = cfg.voxel.grid_size
+    D, H, Wd = gz + 1, gy, gx        # sparse_shape +[1,0,0] quirk (scn :152)
+
+    # hard voxelization + mean VFE
+    iz = np.floor((pts_np[:, 2] - z0) / vz).astype(int)
+    iy = np.floor((pts_np[:, 1] - y0) / vy).astype(int)
+    ix = np.floor((pts_np[:, 0] - x0) / vx).astype(int)
+    ok = ((ix >= 0) & (ix < gx) & (iy >= 0) & (iy < gy)
+          & (iz >= 0) & (iz < gz))
+    cap = cfg.voxel.max_points_per_voxel
+    vox = {}
+    for i in np.nonzero(ok)[0]:
+        vox.setdefault((iz[i], iy[i], ix[i]), []).append(pts_np[i])
+    C = pts_np.shape[1]
+    x = torch.zeros((1, C, D, H, Wd))
+    m = torch.zeros((1, 1, D, H, Wd))
+    for (z, y, xx), rows in vox.items():
+        x[0, :, z, y, xx] = torch.from_numpy(
+            np.mean(np.stack(rows[:cap]), 0))
+        m[0, 0, z, y, xx] = 1.0
+
+    def bn3(t, prefix):
+        return _bn_eval(t, sd, prefix, dims=3)
+
+    def subm(t, prefix):
+        y = F.conv3d(t, _spconv_w(sd, f"{prefix}.weight"), padding=1)
+        if f"{prefix}.bias" in sd:
+            y = y + torch.from_numpy(sd[f"{prefix}.bias"]).view(1, -1, 1, 1, 1)
+        return y
+
+    def block(t, p):
+        idn = t
+        y = F.relu(bn3(subm(t, f"{p}.conv1"), f"{p}.bn1")) * m
+        y = bn3(subm(y, f"{p}.conv2"), f"{p}.bn2") * m
+        return F.relu(y + idn) * m
+
+    def strided(t, mk, p_conv, p_bn, pad):
+        w = _spconv_w(sd, f"{p_conv}.weight")
+        y = F.conv3d(t, w, stride=(2, 2, 2), padding=pad)
+        ones = torch.ones((1, 1, 3, 3, 3))
+        mk2 = (F.conv3d(mk, ones, stride=(2, 2, 2), padding=pad) > 0).float()
+        return F.relu(bn3(y, p_bn)) * mk2, mk2
+
+    # conv_input (SubM 3x3x3 bias=False) + BN + ReLU (scn :98-102)
+    x = F.relu(bn3(subm(x, "backbone.conv_input.0"),
+                   "backbone.conv_input.1")) * m
+    # conv1: two SparseBasicBlocks (scn :104-107)
+    for j in range(2):
+        x = block(x, f"backbone.conv1.{j}")
+    # conv2..conv4: strided + 2 blocks; conv4 z-pad 0 (scn :109-137)
+    for s in (2, 3, 4):
+        pad = (0, 1, 1) if s == 4 else (1, 1, 1)
+        x, m = strided(x, m, f"backbone.conv{s}.0", f"backbone.conv{s}.1",
+                       pad)
+        for j in range(2):
+            x = block(x, f"backbone.conv{s}.{3 + j}")
+    # extra_conv (3,1,1)/(2,1,1) pad 0 (scn :140-146)
+    w = _spconv_w(sd, "backbone.extra_conv.0.weight")
+    y = F.conv3d(x, w, stride=(2, 1, 1))
+    ones = torch.ones((1, 1, 3, 1, 1))
+    m2 = (F.conv3d(m, ones, stride=(2, 1, 1)) > 0).float()
+    x = F.relu(bn3(y, "backbone.extra_conv.1")) * m2
+    # .dense() + view(N, C*D, H, W) — C-major channel flatten (scn :165-168)
+    N, Cc, Dd, Hh, Ww = x.shape
+    return x.reshape(N, Cc * Dd, Hh, Ww)
+
+
+def test_forward_parity_voxelnet_torch_oracle():
+    """Converted fabricated weights through the SPARSE VoxelNet graph: our
+    jitted forward (voxelize_mean -> SparseMiddleEncoder -> folded z_crush
+    -> RPN -> chained CenterHead) must match the torch masked-dense
+    re-execution of the reference graph on a tiny-xy / full-z grid."""
+    cfg = _foldable_voxelnet_cfg()
+    cfg, model, variables, sd, conv = _build_and_convert("forecast_n3dtf",
+                                                         cfg=cfg)
+    rep = conv.pop("__convert_report__")
+    assert rep["extra_conv_folded"], "z geometry must fold for parity"
+    assert not rep["missing_ref_keys"]
+
+    rng = np.random.default_rng(7)
+    P = 400
+    pts = np.zeros((P, 5), np.float32)
+    pts[:, 0] = rng.uniform(cfg.voxel.pc_range[0] + 0.2,
+                            cfg.voxel.pc_range[3] - 0.2, P)
+    pts[:, 1] = rng.uniform(cfg.voxel.pc_range[1] + 0.2,
+                            cfg.voxel.pc_range[4] - 0.2, P)
+    pts[:, 2] = rng.uniform(cfg.voxel.pc_range[2] + 0.2,
+                            cfg.voxel.pc_range[5] - 0.2, P)
+    pts[:, 3:] = rng.uniform(0, 1, (P, 2))
+
+    preds = model.apply(
+        {"params": conv["params"], "batch_stats": conv["batch_stats"]},
+        jnp.asarray(pts[None]), jnp.ones((1, P), bool), train=False)
+
+    feat = torch_scn_forward(sd, cfg, pts)
+    feat = torch_rpn_forward(sd, cfg, feat)
+    rets = torch_head_forward(sd, cfg, feat)
+
+    assert len(preds) == len(rets)
+    for ti, (ours, ref) in enumerate(zip(preds, rets)):
+        for k, v in ref.items():
+            got = np.asarray(ours[k])[0]                  # (H, W, C)
+            want = v[0].numpy().transpose(1, 2, 0)
+            scale = max(np.abs(want).max(), 1.0)
+            np.testing.assert_allclose(
+                got / scale, want / scale, atol=1e-4,
+                err_msg=f"task {ti} head {k}")
 
 
 def test_forward_parity_pp_torch_oracle():

@@ -14,7 +14,7 @@ from futuredet_tpu.models.middle import SparseMiddleEncoder
 
 DIMS = (6, 16, 16)
 CH = (4, 8, 8, 16)
-VMAX = (256, 128, 128, 128)   # ample: no overflow drops
+VMAX = (256, 256, 128, 64)   # ample: no overflow drops (footprint rule)
 
 
 def _scene(seed, n=90, V=256):
@@ -41,13 +41,14 @@ def test_dense_tail_matches_sparse(dense_from):
     feats, coords, valid = _scene(0)
     sparse = _make(None)
     variables = sparse.init(jax.random.PRNGKey(0), feats, coords, valid)
-    ref = sparse.apply(variables, feats, coords, valid)
+    ref, zm_ref = sparse.apply(variables, feats, coords, valid)
 
     hybrid = _make(dense_from)
     # identical param tree: dense modules reuse the sparse names/shapes
-    out = hybrid.apply(variables, feats, coords, valid)
+    out, zm = hybrid.apply(variables, feats, coords, valid)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(zm), np.asarray(zm_ref))
 
 
 def test_dense_param_tree_identical():
@@ -64,10 +65,10 @@ def test_dense_train_mode_bn_stats_match():
     sparse = _make(None)
     variables = sparse.init(jax.random.PRNGKey(0), feats, coords, valid)
 
-    ref, mut_ref = sparse.apply(variables, feats, coords, valid, True,
-                                mutable=["batch_stats"])
-    out, mut = _make(2).apply(variables, feats, coords, valid, True,
-                              mutable=["batch_stats"])
+    (ref, _), mut_ref = sparse.apply(variables, feats, coords, valid, True,
+                                     mutable=["batch_stats"])
+    (out, _), mut = _make(2).apply(variables, feats, coords, valid, True,
+                                   mutable=["batch_stats"])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=5e-4, atol=5e-4)
     jax.tree_util.tree_map(
@@ -80,10 +81,10 @@ def test_dense_bf16_close_to_fp32():
     feats, coords, valid = _scene(3)
     sparse = _make(None)
     variables = sparse.init(jax.random.PRNGKey(0), feats, coords, valid)
-    ref = sparse.apply(variables, feats, coords, valid)
+    ref, _ = sparse.apply(variables, feats, coords, valid)
     hybrid = SparseMiddleEncoder(channels=CH, vmax=VMAX, grid_zyx=DIMS,
                                  dense_from_stage=1,
                                  dense_dtype=jnp.bfloat16)
-    out = hybrid.apply(variables, feats, coords, valid)
+    out, _ = hybrid.apply(variables, feats, coords, valid)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=5e-2, atol=5e-2)

@@ -77,27 +77,65 @@ def test_subm_conv_matches_dense_conv_on_active_sites():
         np.testing.assert_allclose(out[i], ref[z, y, x], rtol=1e-4, atol=1e-5)
 
 
-def test_downsample_dedupes_and_strided_table_hits():
+def _footprint_sites_oracle(coords, valid, dims, out_dims, pads):
+    """spconv generative rule, densely: output site q is active iff any
+    active input lies under its kernel-3 stride-2 window (input position
+    2q + k - pad, k in 0..2 per axis)."""
+    dense = np.zeros(dims, bool)
+    for c, v in zip(coords, valid):
+        if v:
+            dense[tuple(c)] = True
+    got, covered = set(), set()
+    for qz in range(out_dims[0]):
+        for qy in range(out_dims[1]):
+            for qx in range(out_dims[2]):
+                for kz in range(3):
+                    for ky in range(3):
+                        for kx in range(3):
+                            p = (2 * qz + kz - pads[0],
+                                 2 * qy + ky - pads[1],
+                                 2 * qx + kx - pads[2])
+                            if all(0 <= pi < di
+                                   for pi, di in zip(p, dims)) \
+                                    and dense[p]:
+                                got.add((qz, qy, qx))
+                                covered.add(p)
+    return got, covered
+
+
+def test_downsample_footprint_rule_and_strided_table_hits():
+    """downsample_coords implements spconv's generative output-site rule
+    (ref SparseConv3d, scn.py:109-146), incl. the z-pad-0 variant of
+    conv4."""
     dims = (8, 8, 8)
-    coords = np.array([[0, 0, 0], [0, 0, 1], [1, 1, 1], [2, 2, 2], [7, 7, 7]],
-                      np.int32)
+    coords = np.array([[0, 0, 0], [0, 0, 1], [1, 1, 1], [2, 2, 2], [7, 7, 7],
+                       [3, 6, 2], [4, 4, 4]], np.int32)
     V = 16
     c = np.zeros((V, 3), np.int32)
-    c[:5] = coords
+    c[:7] = coords
     valid = np.zeros(V, bool)
-    valid[:5] = True
+    valid[:7] = True
     grid = SC.make_grid(jnp.asarray(c), jnp.asarray(valid), dims)
-    out_dims = (4, 4, 4)
-    ng = SC.downsample_coords(grid, out_dims, 8)
-    got = {tuple(x) for x, v in zip(np.asarray(ng.coords).tolist(),
-                                    np.asarray(ng.valid).tolist()) if v}
-    assert got == {(0, 0, 0), (1, 1, 1), (3, 3, 3)}
 
-    tbl = np.asarray(SC.strided_gather_table(grid, ng, dims))
-    # every input voxel must be reachable from some (offset, out_site) pair
-    hit_inputs = set(tbl[tbl < V].tolist())
-    active_idx = {i for i in range(V) if np.asarray(grid.valid)[i]}
-    assert active_idx <= hit_inputs
+    for pads in ((1, 1, 1), (0, 1, 1)):
+        out_dims = tuple((d + 2 * p - 3) // 2 + 1 for d, p in zip(dims, pads))
+        ng = SC.downsample_coords(grid, out_dims, 64, pads)
+        got = {tuple(x) for x, v in zip(np.asarray(ng.coords).tolist(),
+                                        np.asarray(ng.valid).tolist()) if v}
+        want, covered = _footprint_sites_oracle(c, valid, dims, out_dims,
+                                                pads)
+        assert got == want, pads
+
+        tbl = np.asarray(SC.strided_gather_table(grid, ng, dims, pads=pads))
+        # every conv-covered input voxel must be reachable from some
+        # (offset, out) pair (with z pad 0 the last z rows are never read,
+        # exactly like a dense stride-2 conv)
+        hit_inputs = set(tbl[tbl < V].tolist())
+        g_coords = np.asarray(grid.coords)
+        covered_idx = {i for i in range(V)
+                       if np.asarray(grid.valid)[i]
+                       and tuple(g_coords[i]) in covered}
+        assert covered_idx <= hit_inputs, pads
 
 
 def test_voxelnet_sparse_forward_and_grads():
@@ -423,8 +461,8 @@ def test_encoder_train_grads_same_across_table_layouts():
         vars_p, vars_s)
 
     def loss(params, enc, variables):
-        out, _ = enc.apply({**variables, "params": params}, fj, cj, vj,
-                           True, mutable=["batch_stats"])
+        (out, _zm), _ = enc.apply({**variables, "params": params}, fj, cj,
+                                  vj, True, mutable=["batch_stats"])
         return jnp.sum(jnp.square(out))
 
     lp, gp = jax.value_and_grad(lambda p: loss(p, enc_p, vars_p))(
@@ -473,9 +511,10 @@ def test_encoder_assume_sorted_matches_on_voxelizer_output():
     enc_b = SparseMiddleEncoder(**kw, assume_sorted=False)
     variables = enc_a.init(jax.random.PRNGKey(0), feats, coords, vvalid,
                            False)
-    out_a = enc_a.apply(variables, feats, coords, vvalid, False)
-    out_b = enc_b.apply(variables, feats, coords, vvalid, False)
+    out_a, zm_a = enc_a.apply(variables, feats, coords, vvalid, False)
+    out_b, zm_b = enc_b.apply(variables, feats, coords, vvalid, False)
     np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+    np.testing.assert_array_equal(np.asarray(zm_a), np.asarray(zm_b))
 
 
 def test_xpack_sym_vjp_matches_autodiff():

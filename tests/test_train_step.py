@@ -97,6 +97,8 @@ def test_init_state_and_cli_batch_with_bev_map():
                        max_objs=16)
     batch.pop("gt")
     assert "bev_map" in batch
+    # the synthetic map is a real drivable-area raster, not zeros
+    assert float(np.asarray(batch["bev_map"]).sum()) > 0
     state = init_state(cfg, jax.random.PRNGKey(0),
                        jax.tree.map(lambda x: x[:1], batch), total_steps=5)
     step_fn = make_train_step(cfg, make_mesh(1), total_steps=5)
