@@ -110,6 +110,13 @@ class HeadConfig:
         mask = [0, 0, 0, 0, 0, 0, 1, 1, 0, 0]
         return tuple(w * m for w, m in zip(self.code_weights, mask))
 
+    @property
+    def code_weights_two_stage(self) -> Tuple[float, ...]:
+        """TWO_STAGE fine-tuning weights: vel + rot only, applied to EVERY
+        timestep (ref :286: code_weights_two_stage_forecast = [0]*6 +
+        [1,1,1,1], used at :509-511 for all i)."""
+        return (0.0,) * 6 + (1.0,) * 4
+
 
 @dataclass(frozen=True)
 class AssignerConfig:

@@ -95,6 +95,10 @@ def center_head_loss(cfg: HeadConfig, preds: List[Dict[str, jax.Array]],
     T = cfg.timesteps
     cw = jnp.asarray(cfg.code_weights)
     cwf = jnp.asarray(cfg.code_weights_forecast)
+    if cfg.two_stage:
+        # TWO_STAGE fine-tuning: vel+rot-only weights on EVERY timestep
+        # (ref :509-511) and no heatmap loss (ref :405-406)
+        cw = cwf = jnp.asarray(cfg.code_weights_two_stage)
     # with rvel/rrot heads the target keeps all 14 anno_box columns
     # (ref :448-455); without them, the 10-column selection (ref :462,469)
     has_rvel = "rvel" in dict(cfg.common_heads)
