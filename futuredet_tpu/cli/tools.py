@@ -6,8 +6,9 @@
   statistics  — count static/linear/nonlinear GT trajectories
                 (ref `/root/reference/statistics.py`)
   compare     — diff two checkpoints' parameters (ref `compare.py:5-19`)
-  visualize   — render GT vs predicted forecasts to a BEV png per sample
-                (ref `/root/reference/visualize.py`, matplotlib-lite)
+  visualize   — render GT vs predicted forecasts to a BEV png per sample,
+                optionally stitched into one mp4 per scene via --video
+                (ref `/root/reference/visualize.py`, matplotlib-lite + cv2)
   export      — serialize the jitted inference forward (StableHLO via
                 jax.export) for AOT serving; no reference equivalent (torch
                 has no deployment artifact in the repo)
@@ -104,14 +105,19 @@ def cmd_compare(args):
 
 def cmd_visualize(args):
     """BEV png per sample: GT tracklets (green) vs predicted trajectories
-    (red), matplotlib."""
+    (red), matplotlib. With --video, the per-sample frames are additionally
+    stitched into one mp4 per scene at 2 fps (ref visualize.py:212-232,
+    cv2.VideoWriter mp4v). Scene grouping comes from, in order: a
+    `{scene_token: [sample_token, ...]}` pickle passed via --scene_map, a
+    "scene_token" key on each sample dict, else a single "all" video in
+    pickle order."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     with open(args.predictions, "rb") as f:
         data = pickle.load(f)
-    n = 0
+    rendered = []
     for token, sample in list(data.items())[:args.max_samples]:
         fig, ax = plt.subplots(figsize=(8, 8))
         for tr in sample.get("gt", []):
@@ -126,8 +132,51 @@ def cmd_visualize(args):
         out = f"{args.out_dir}/{token}.png"
         fig.savefig(out, dpi=100)
         plt.close(fig)
-        n += 1
-    logging.info("wrote %d visualizations to %s", n, args.out_dir)
+        rendered.append(token)
+    logging.info("wrote %d visualizations to %s", len(rendered), args.out_dir)
+    if getattr(args, "video", False) and rendered:
+        scenes = _group_by_scene(data, rendered, args.scene_map)
+        for scene_token, tokens in scenes.items():
+            _write_scene_video(args.out_dir, scene_token, tokens)
+    return rendered
+
+
+def _group_by_scene(data, rendered, scene_map_path):
+    """Ordered sample tokens per scene, restricted to the rendered frames."""
+    rendered_set = set(rendered)
+    if scene_map_path:
+        with open(scene_map_path, "rb") as f:
+            scene_map = pickle.load(f)
+        return {sc: [t for t in toks if t in rendered_set]
+                for sc, toks in scene_map.items()
+                if any(t in rendered_set for t in toks)}
+    scenes = {}
+    for token in rendered:
+        sc = data[token].get("scene_token", "all") if isinstance(
+            data[token], dict) else "all"
+        scenes.setdefault(sc, []).append(token)
+    return scenes
+
+
+def _write_scene_video(out_dir, scene_token, tokens, fps=2.0):
+    """One mp4 per scene from the per-sample pngs (ref visualize.py:212-232:
+    mp4v fourcc, 2 fps, frame size from the rendered image)."""
+    import cv2
+
+    frames = [cv2.imread(f"{out_dir}/{t}.png") for t in tokens]
+    frames = [f for f in frames if f is not None]
+    if not frames:
+        return
+    h, w = frames[0].shape[:2]
+    path = f"{out_dir}/{scene_token}.mp4"
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h))
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            f = cv2.resize(f, (w, h))
+        writer.write(f)
+    writer.release()
+    logging.info("wrote %d-frame scene video %s", len(frames), path)
 
 
 def cmd_export(args):
@@ -191,6 +240,13 @@ def main(argv=None):
     v.add_argument("--predictions", required=True)
     v.add_argument("--out_dir", default=".")
     v.add_argument("--max_samples", type=int, default=20)
+    v.add_argument("--video", action="store_true",
+                   help="also stitch one mp4 per scene (2 fps, ref "
+                        "visualize.py:212-232)")
+    v.add_argument("--scene_map", default=None,
+                   help="pickle of {scene_token: [sample_token, ...]} for "
+                        "scene grouping (e.g. from "
+                        "NuScenesTables.sample_tokens_by_scene)")
 
     e = sub.add_parser("export")
     e.add_argument("--model", default="pp_forecast_n3dtf")

@@ -458,15 +458,33 @@ def test_forward_parity_pp_torch_oracle():
                 err_msg=f"task {ti} head {k}")
 
 
+def real_ckpt_fixed_scene(P=2000):
+    """The canonical fixed point cloud for real-checkpoint parity: 2000
+    points, seed 0, uniform xy in [-50, 50], z in [-3, 1], feats in [0, 1].
+    The reference-side recipe (docs/PARITY.md, "Real-checkpoint detection
+    artifact") feeds these SAME points through the reference repo's
+    inference to produce the FUTUREDET_REF_DETECTIONS npz."""
+    rng = np.random.default_rng(0)
+    return np.concatenate([
+        rng.uniform(-50, 50, (1, P, 2)), rng.uniform(-3, 1, (1, P, 1)),
+        rng.uniform(0, 1, (1, P, 2))], -1).astype(np.float32)
+
+
 def test_real_reference_checkpoint_parity():
     """Runs when FUTUREDET_REF_CKPT names a reference .pth: converts it onto
     the full-size config named by FUTUREDET_REF_MODEL (default
-    forecast_n3dtf) and checks full coverage + a finite forward."""
+    forecast_n3dtf), decodes + NMSes the fixed scene, and — when
+    FUTUREDET_REF_DETECTIONS names an npz recorded from the reference
+    repo's inference on the same scene (recipe in docs/PARITY.md) —
+    asserts the surviving detections match box-for-box. Without the
+    artifact it still verifies full key coverage + finite decoded output
+    and writes our detections next to the checkpoint for diffing."""
     path = os.environ.get("FUTUREDET_REF_CKPT")
     if not path or not os.path.exists(path):
         pytest.skip("FUTUREDET_REF_CKPT not set — no reference checkpoint "
                     "available in this environment")
     from futuredet_tpu.config import get_config
+    from futuredet_tpu.eval.decode import decode_and_nms
     from futuredet_tpu.models.detector import build_detector
     from futuredet_tpu.utils.convert_checkpoint import (
         convert_reference_checkpoint, load_reference_state_dict)
@@ -475,20 +493,86 @@ def test_real_reference_checkpoint_parity():
     cfg = get_config(name)
     sd = load_reference_state_dict(path)
     model = build_detector(cfg)
-    P = 2000
-    rng = np.random.default_rng(0)
-    pts = np.concatenate([
-        rng.uniform(-50, 50, (1, P, 2)), rng.uniform(-3, 1, (1, P, 1)),
-        rng.uniform(0, 1, (1, P, 2))], -1).astype(np.float32)
+    pts = real_ckpt_fixed_scene()
     variables = jax.device_get(model.init(
-        jax.random.PRNGKey(0), jnp.asarray(pts), jnp.ones((1, P), bool),
-        train=False))
+        jax.random.PRNGKey(0), jnp.asarray(pts),
+        jnp.ones(pts.shape[:2], bool), train=False))
     conv = convert_reference_checkpoint(sd, cfg, variables)
     rep = conv.pop("__convert_report__")
     assert not rep["missing_ref_keys"], rep["missing_ref_keys"][:10]
     preds = model.apply(
         {"params": conv["params"], "batch_stats": conv["batch_stats"]},
-        jnp.asarray(pts), jnp.ones((1, P), bool), train=False)
-    for pd in preds:
-        for k, v in pd.items():
-            assert np.all(np.isfinite(np.asarray(v))), k
+        jnp.asarray(pts), jnp.ones(pts.shape[:2], bool), train=False)
+    det = jax.device_get(decode_and_nms(cfg, preds))
+    keep = np.asarray(det.valid[0])
+    boxes = np.asarray(det.boxes[0])[keep]
+    scores = np.asarray(det.scores[0])[keep]
+    labels = np.asarray(det.labels[0])[keep]
+    assert np.all(np.isfinite(boxes)) and np.all(np.isfinite(scores))
+
+    art = os.environ.get("FUTUREDET_REF_DETECTIONS")
+    if not art or not os.path.exists(art):
+        out = os.path.splitext(path)[0] + ".futuredet_tpu_detections.npz"
+        np.savez(out, boxes=boxes, scores=scores, labels=labels)
+        pytest.skip(
+            f"converted forward + decode finite ({keep.sum()} detections, "
+            f"dumped to {out}); set FUTUREDET_REF_DETECTIONS to a "
+            "reference-run artifact (docs/PARITY.md) to assert box-level "
+            "parity")
+    ref = np.load(art)
+    assert_detections_match(boxes, scores, labels,
+                            ref["boxes"], ref["scores"], ref["labels"])
+
+
+def assert_detections_match(boxes, scores, labels, rboxes, rscores, rlabels,
+                            score_floor=0.1, center_tol=0.1,
+                            score_tol=1e-2):
+    """Greedy same-label center matching between two detection sets; every
+    confident reference detection must have a counterpart with matching
+    box geometry and score. Exercised on fabricated pairs by
+    test_detection_match_harness; consumed by the real-checkpoint test."""
+    want = rscores >= score_floor
+    rboxes, rscores, rlabels = rboxes[want], rscores[want], rlabels[want]
+    used = np.zeros(len(boxes), bool)
+    for rb, rs, rl in zip(rboxes, rscores, rlabels):
+        d = np.linalg.norm(boxes[:, :2] - rb[:2], axis=1)
+        d = np.where((labels == rl) & ~used, d, np.inf)
+        j = int(np.argmin(d))
+        assert d[j] <= center_tol, (
+            f"reference detection at {rb[:3]} (label {rl}, score {rs:.3f}) "
+            f"has no match within {center_tol} m (closest {d[j]:.3f})")
+        used[j] = True
+        assert abs(scores[j] - rs) <= score_tol, (scores[j], rs)
+        np.testing.assert_allclose(boxes[j][:6], rb[:6], atol=0.05)
+        # yaw modulo pi-symmetry of near-square boxes: compare sin/cos
+        np.testing.assert_allclose(
+            [np.sin(boxes[j][8]), np.cos(boxes[j][8])],
+            [np.sin(rb[8]), np.cos(rb[8])], atol=0.05)
+
+
+def test_detection_match_harness():
+    """The matcher itself: accepts permuted + jittered copies, rejects a
+    moved box, a score drift, and a missing detection."""
+    rng = np.random.default_rng(3)
+    n = 12
+    rboxes = np.concatenate([
+        rng.uniform(-40, 40, (n, 2)), rng.uniform(-2, 0, (n, 1)),
+        rng.uniform(1, 4, (n, 3)), rng.uniform(-5, 5, (n, 2)),
+        rng.uniform(-np.pi, np.pi, (n, 1))], 1)
+    rscores = rng.uniform(0.2, 0.9, n)
+    rlabels = rng.integers(0, 3, n)
+    perm = rng.permutation(n)
+    boxes = rboxes[perm] + rng.normal(0, 0.005, (n, 9))
+    scores, labels = rscores[perm], rlabels[perm]
+    assert_detections_match(boxes, scores, labels, rboxes, rscores, rlabels)
+    moved = boxes.copy()
+    moved[0, :2] += 1.0
+    with pytest.raises(AssertionError):
+        assert_detections_match(moved, scores, labels,
+                                rboxes, rscores, rlabels)
+    with pytest.raises(AssertionError):
+        assert_detections_match(boxes, scores + 0.05, labels,
+                                rboxes, rscores, rlabels)
+    with pytest.raises(AssertionError):
+        assert_detections_match(boxes[1:], scores[1:], labels[1:],
+                                rboxes, rscores, rlabels)

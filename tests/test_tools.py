@@ -151,3 +151,56 @@ def test_trajectory_prototypes_snap_chain(tmp_path, monkeypatch):
     short = Trajectory(boxes=boxes[:3], scores=np.ones(3, np.float32))
     with pytest.raises(ValueError, match="different horizon"):
         snap_to_prototypes([short], protos)
+
+
+def test_visualize_scene_video(tmp_path):
+    """--video stitches one mp4 per scene from the per-sample pngs
+    (ref visualize.py:212-232: mp4v, 2 fps, frame-per-sample)."""
+    import cv2
+
+    rng = np.random.default_rng(0)
+    data = {}
+    for i, (tok, sc) in enumerate([("s0", "sceneA"), ("s1", "sceneA"),
+                                   ("s2", "sceneB")]):
+        data[tok] = {
+            "scene_token": sc,
+            "gt": [rng.uniform(-40, 40, (7, 2))],
+            "pred": [rng.uniform(-40, 40, (7, 2))],
+        }
+    p = tmp_path / "preds.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(data, f)
+    rendered = T.main(["visualize", "--predictions", str(p),
+                       "--out_dir", str(tmp_path), "--video"])
+    assert rendered == ["s0", "s1", "s2"]
+    for sc, n_frames in [("sceneA", 2), ("sceneB", 1)]:
+        path = tmp_path / f"{sc}.mp4"
+        assert path.exists(), sc
+        cap = cv2.VideoCapture(str(path))
+        assert cap.isOpened()
+        got = 0
+        while cap.read()[0]:
+            got += 1
+        cap.release()
+        assert got == n_frames, sc
+
+
+def test_visualize_scene_map_grouping(tmp_path):
+    """Explicit --scene_map pickle wins over per-sample scene_token keys."""
+    import cv2
+
+    data = {t: {"gt": [np.zeros((2, 2))], "pred": []} for t in ("a", "b")}
+    p = tmp_path / "preds.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(data, f)
+    sm = tmp_path / "scenes.pkl"
+    with open(sm, "wb") as f:
+        pickle.dump({"sc1": ["b", "a", "missing_token"]}, f)
+    T.main(["visualize", "--predictions", str(p), "--out_dir", str(tmp_path),
+            "--video", "--scene_map", str(sm)])
+    cap = cv2.VideoCapture(str(tmp_path / "sc1.mp4"))
+    got = 0
+    while cap.read()[0]:
+        got += 1
+    cap.release()
+    assert got == 2
