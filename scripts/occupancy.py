@@ -46,10 +46,17 @@ def main():
         dims = (gz + 1, gy, gx)
         grid = make_grid(coords, vvalid, dims)
         counts = [jnp.sum(grid.valid)]
-        caps = (max_v, 30000, 30000, 16000)
+        # UNCAPPED (8x prev) so the numbers show true generative occupancy,
+        # not the configured budget
+        caps, prev = [max_v], max_v
+        for _ in range(1, 4):
+            caps.append(8 * prev)
+            prev = caps[-1]
         for s in range(1, 4):
-            out_dims = tuple((d + 1) // 2 for d in dims)
-            grid = downsample_coords(grid, out_dims, caps[s])
+            pads = (0, 1, 1) if s == 3 else (1, 1, 1)
+            out_dims = tuple((d + 2 * p - 3) // 2 + 1
+                             for d, p in zip(dims, pads))
+            grid = downsample_coords(grid, out_dims, caps[s], pads)
             dims = out_dims
             counts.append(jnp.sum(grid.valid))
         return jnp.stack(counts)

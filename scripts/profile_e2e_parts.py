@@ -4,6 +4,14 @@ import dataclasses, os, sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
+def _detector_caps(middle_vmax, max_v):
+    caps, prev = [], max_v
+    for s, v in enumerate(middle_vmax):
+        cap = min(v, prev if s == 0 else 8 * prev)
+        caps.append(cap)
+        prev = cap
+    return caps
+
 def main():
     import jax, jax.numpy as jnp
     from _timing import chain_ms, enable_compilation_cache
@@ -47,14 +55,18 @@ def main():
     vvalid = c[:, 0] >= 0
     enc = SparseMiddleEncoder(
         channels=cfg.model.middle_channels,
-        vmax=tuple(min(v, max_v) for v in cfg.model.middle_vmax),
+        # mirror the detector's generative-downsample cap rule
+        # (detector.py: min(budget, 8*prev), prev0 = voxelizer cap)
+        vmax=tuple(_detector_caps(cfg.model.middle_vmax, max_v)),
         grid_zyx=(gz + 1, gy, gx),
         gather_algo=cfg.model.middle_gather_algo,
         xpack_max_cin=cfg.model.middle_xpack_max_cin)
     vars_enc = jax.jit(lambda r, x: enc.init(r, x, c, vvalid, False))(
         jax.random.PRNGKey(0), f)
-    t_mid = chain_ms(lambda x: enc.apply(vars_enc, x, c, vvalid, False),
-                     f, iters=50)
+    def mid(x):
+        bev, zmask = enc.apply(vars_enc, x, c, vvalid, False)
+        return bev + zmask.any(-1, keepdims=True)
+    t_mid = chain_ms(mid, f, iters=50)
 
     model = build_detector(cfg)
     variables = jax.jit(lambda r: model.init(r, pts_j, valid_j,
