@@ -28,11 +28,14 @@ extern "C" {
 
 // Read one nuScenes .bin (float32 rows of `file_feats`), apply an optional
 // 4x4 row-major transform to xyz, drop points with |x|<radius && |y|<radius,
-// write rows of `out_feats` (= keep_feats + 1 time-lag column).
+// write rows of `out_feats` (= keep_feats + 1 time-lag column) into `stage`,
+// which is resized to the FILE's own point count — NOT the caller's overall
+// max_points budget: zero-filling a per-sweep max_points buffer (4M rows x
+// 20 sweeps = 1.9 GB of memset) used to dominate the whole sample load.
 // Returns number of points written, or -1 on IO error.
 static int64_t load_one(const char* path, const double* tm, double time_lag,
-                        double close_radius, float* out, int64_t max_out,
-                        int file_feats, int keep_feats) {
+                        double close_radius, std::vector<float>& stage,
+                        int64_t max_out, int file_feats, int keep_feats) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   fseek(f, 0, SEEK_END);
@@ -45,6 +48,9 @@ static int64_t load_one(const char* path, const double* tm, double time_lag,
   if ((int64_t)rd != n * file_feats) return -1;
 
   int out_feats = keep_feats + 1;
+  if (max_out > n) max_out = n;
+  stage.resize(max_out * out_feats);
+  float* out = stage.data();
   int64_t w = 0;
   for (int64_t i = 0; i < n && w < max_out; ++i) {
     const float* p = &buf[i * file_feats];
@@ -84,13 +90,12 @@ int64_t fd_load_sweeps(const char* const* paths, const uint8_t* has_tm,
   for (int t = 0; t < n_threads; ++t) {
     workers.emplace_back([&, t]() {
       for (int64_t i = t; i < n_sweeps; i += n_threads) {
-        stage[i].resize(max_points * out_feats);
         // keyframe (i==0) keeps close points: ref loading.py applies
         // remove_close only to sweeps
         double radius = (i == 0) ? 0.0 : close_radius;
         const double* tm = has_tm[i] ? &transforms[i * 16] : nullptr;
         int64_t c = load_one(paths[i], tm, lags[i], radius,
-                             stage[i].data(), max_points, file_feats,
+                             stage[i], max_points, file_feats,
                              keep_feats);
         counts[i] = c < 0 ? 0 : c;
       }

@@ -258,8 +258,13 @@ class NuScenesForecastDataset:
                 scale_noise=cfg.data.global_scale_noise,
                 translate_std=cfg.data.global_translate_std)
             gt_boxes = gtb
-        if cfg.data.shuffle_points:
-            self.rng.shuffle(pts)
+        if cfg.data.shuffle_points and len(pts) <= cfg.voxel.max_points:
+            # permutation GATHER, not Generator.shuffle — numpy's 2-D shuffle
+            # is a row-swap loop (~1.5 s on a 680k-point aggregate, the whole
+            # host-pipeline budget). Over-budget clouds skip this entirely:
+            # pack_points' random subsample below already yields a uniformly
+            # random subset in uniformly random order.
+            pts = pts[self.rng.permutation(len(pts))]
         points, pvalid = pack_points(pts, cfg.voxel.max_points, self.rng)
         out = {"points": points, "points_valid": pvalid,
                "gt_boxes": gt_boxes, "gt_classes": gt_cls,

@@ -38,20 +38,115 @@ class Scene:
     traj_classes: np.ndarray  # (M,) 1-based static/linear/nonlinear; 0 invalid
 
 
+def _lidar_clutter(rng: np.random.Generator, n: int, hi: float) -> np.ndarray:
+    """Structured lidar-statistics background: ground-ring ARCS at half-voxel
+    step (contiguous strings of multi-hit voxels), wall point grids at
+    azimuth/elevation resolution, plus a small isolated-noise fraction.
+
+    Real aggregated sweeps concentrate points on the ground sheet and
+    vertical structure with ~3-8 points per occupied voxel and strong
+    voxel ADJACENCY — which sets the generative strided-conv site growth
+    (spconv rule) to ~1x per stage. The former 1/r isolated-point clutter
+    had ~1 point per voxel, a non-physical worst case whose generative
+    growth is ~3.4x (scripts/occupancy.py).
+    """
+    vox = 0.075                      # bench xy voxel size (config voxel_size)
+    parts = []
+    n_ground = int(n * 0.765)
+    n_wall = int(n * 0.22)
+    n_noise = n - n_ground - n_wall
+
+    # ground: beams at downward elevations -> rings r = h / tan(el);
+    # 20 sweeps shift ring centers with ego motion; each (beam, sweep)
+    # contributes one contiguous arc sampled at half-voxel steps
+    elev = np.deg2rad(np.linspace(1.2, 24.0, 24))
+    radii = np.clip(1.84 / np.tan(elev), 2.5, hi * 1.35)
+    sweeps = 20
+    arcs = []
+    budget = n_ground
+    per_arc = max(budget // (len(radii) * sweeps), 8)
+    for s in range(sweeps):
+        ego = np.array([0.35 * s, 0.0])
+        for r in radii:
+            m = min(per_arc, budget)
+            if m <= 0:
+                break
+            phi0 = rng.uniform(-np.pi, np.pi)
+            dphi = (vox * 0.12) / r  # ~8 hits per voxel along the arc
+            phi = phi0 + np.arange(m) * dphi
+            x = ego[0] + r * np.cos(phi)
+            y = ego[1] + r * np.sin(phi)
+            z = -1.84 + 0.01 * r * rng.normal(0, 0.004, m)
+            arcs.append(np.stack([x, y, z], -1))
+            budget -= m
+    if arcs:
+        parts.append(np.concatenate(arcs, 0))
+
+    # walls: vertical planes scanned at range-scaled azimuth spacing with
+    # beam-elevation rows (strings of adjacent voxels per row)
+    walls = []
+    budget = n_wall
+    for _ in range(14):
+        if budget <= 0:
+            break
+        d = rng.uniform(6.0, hi * 0.9)
+        th = rng.uniform(-np.pi, np.pi)
+        c = np.array([d * np.cos(th), d * np.sin(th)])
+        ori = rng.uniform(-np.pi, np.pi)
+        L = rng.uniform(8.0, 30.0)
+        h_spacing = max(vox * 0.2, d * np.deg2rad(0.1))
+        cols = int(L / h_spacing)
+        z_rows = np.arange(-1.8, 2.4, max(0.07, d * 0.010))
+        m = min(cols * len(z_rows), budget)
+        if cols < 2 or m <= 0:
+            continue
+        u = (np.arange(cols) - cols / 2) * h_spacing
+        xy = c[None, :] + np.stack([u * np.cos(ori), u * np.sin(ori)], -1)
+        g = np.repeat(xy, len(z_rows), 0)
+        z = np.tile(z_rows, cols)
+        w = np.concatenate([g, z[:, None]], -1)[:m]
+        walls.append(w)
+        budget -= m
+    if walls:
+        parts.append(np.concatenate(walls, 0))
+
+    # isolated noise (vegetation, spurious returns): 1/r radial draw
+    r = rng.uniform(1.0, hi, n_noise)
+    th = rng.uniform(-np.pi, np.pi, n_noise)
+    parts.append(np.stack([r * np.cos(th), r * np.sin(th),
+                           rng.uniform(-2.0, 0.5, n_noise)], -1))
+
+    xyz = np.concatenate(parts, 0)[:n]
+    if len(xyz) < n:
+        xyz = np.concatenate([xyz, xyz[: n - len(xyz)]], 0)
+    inten = rng.uniform(0, 1, n)
+    return np.stack([xyz[:, 0], xyz[:, 1], xyz[:, 2], inten,
+                     np.zeros(n)], -1)
+
+
 def make_scene(cfg: ExperimentConfig, n_objects: int = 12,
                n_clutter: int = 20000, points_per_object: int = 600,
                seed: int = 0, max_objs: Optional[int] = None,
                speed_range: tuple = (3.0, 10.0),
-               radial_clutter: bool = False) -> Scene:
-    """radial_clutter=True draws ground clutter with ~1/r density around the
-    ego (uniform radius draw), matching real lidar's range falloff — used by
-    the bench's realistic-scene mode; False keeps uniform-area clutter."""
+               radial_clutter: bool = False,
+               clutter_mode: Optional[str] = None) -> Scene:
+    """clutter_mode selects the background-point statistics:
+      'uniform' — uniform-area isolated points (default);
+      'spread'  — ~1/r areal density isolated points (uniform radius draw;
+                  the pre-round-3 'realistic' mode, kept for comparability);
+      'lidar'   — structured ground-ring arcs / wall grids / noise matching
+                  real aggregated-sweep statistics (multi-hit adjacent
+                  voxels) — the realistic bench mode.
+    radial_clutter=True is a deprecated alias for clutter_mode='spread'."""
     rng = np.random.default_rng(seed)
     T = max(cfg.timesteps, 1)
     M = max_objs or cfg.assigner.max_objs
     P = cfg.voxel.max_points
     lo, hi = cfg.voxel.pc_range[0], cfg.voxel.pc_range[3]
     span = (hi - lo) * 0.4
+
+    mode = clutter_mode or ("spread" if radial_clutter else "uniform")
+    mode_scan = mode == "lidar"
 
     gt_boxes = np.zeros((T, M, 12), np.float32)
     gt_classes = np.zeros((T, M), np.int32)
@@ -93,6 +188,48 @@ def make_scene(cfg: ExperimentConfig, n_objects: int = 12,
 
         # lidar hits on the walls + roof of the t=0 box
         n = points_per_object
+        if mode_scan:
+            # scan-line sampling: dense point strings on the two
+            # sensor-facing faces at range-scaled azimuth spacing and
+            # beam-elevation rows — real aggregated-sweep statistics
+            # (adjacent multi-hit voxels) instead of isolated speckle.
+            # Budget falls off with range like real returns do.
+            d = max(np.hypot(cx, cy), 3.0)
+            n = min(n, max(int(n * (12.0 / d) ** 1.5), 30))
+            # 20 aggregated ego-shifted sweeps multiply the single-sweep
+            # azimuth density — ~3x effective resolution
+            h_sp = max(0.02, d * np.deg2rad(0.12) / 3)
+            v_sp = max(0.1, d * 0.014)
+            z_rows = np.arange(cz - h / 2, cz + h / 2, v_sp)
+            # fit the scan grid to the point budget by COARSENING the
+            # column spacing (a random subsample would break adjacency)
+            total = int((l + w) / h_sp) * len(z_rows)
+            if total > n:
+                h_sp *= total / n
+            cols_l = max(int(l / h_sp), 2)
+            cols_w = max(int(w / h_sp), 2)
+            face_pts = []
+            for cols, extent, fixed in ((cols_l, l, ("w", -0.5)),
+                                        (cols_w, w, ("l", -0.5))):
+                u_ = (np.arange(cols) / cols - 0.5) * extent
+                if fixed[0] == "w":
+                    loc = np.stack([u_, np.full(cols, fixed[1] * w)], -1)
+                else:
+                    loc = np.stack([np.full(cols, fixed[1] * l), u_], -1)
+                g = np.repeat(loc, len(z_rows), 0)
+                zz_ = np.tile(z_rows, cols)
+                face_pts.append(np.concatenate([g, zz_[:, None]], -1))
+            fp = np.concatenate(face_pts, 0)
+            if len(fp) > n:
+                fp = fp[rng.permutation(len(fp))[:n]]
+            c0, s0 = np.cos(yaw), np.sin(yaw)
+            world = fp[:, :2] @ np.array([[c0, s0], [-s0, c0]])
+            world += np.array([cx, cy])
+            m_ = len(fp)
+            pts_list.append(np.stack(
+                [world[:, 0], world[:, 1], fp[:, 2],
+                 rng.uniform(0, 1, m_), np.zeros(m_)], -1))
+            continue
         face = rng.integers(0, 4, n)
         u = rng.uniform(-0.5, 0.5, n)
         local = np.zeros((n, 2))
@@ -113,7 +250,9 @@ def make_scene(cfg: ExperimentConfig, n_objects: int = 12,
         pts_list.append(np.stack([world[:, 0], world[:, 1], z, inten,
                                   np.zeros(n)], -1))
 
-    if radial_clutter:
+    if mode == "lidar":
+        clutter = _lidar_clutter(rng, n_clutter, hi)
+    elif mode == "spread":
         # uniform radius -> areal density ~ 1/r (lidar range falloff)
         r = rng.uniform(1.0, hi, n_clutter)
         th = rng.uniform(-np.pi, np.pi, n_clutter)

@@ -68,7 +68,8 @@ def load_sweeps_native(paths: Sequence[str], transforms, time_lags,
         if t is not None:
             tms[i] = np.asarray(t, np.float64).reshape(16)
     lags = np.asarray(time_lags, np.float64)
-    out = np.zeros((max_points, keep_feats + 1), np.float32)
+    # rows past the returned count are never read — skip the (large) memset
+    out = np.empty((max_points, keep_feats + 1), np.float32)
     total = lib.fd_load_sweeps(
         c_paths, has_tm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         tms.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),

@@ -61,3 +61,25 @@ def chain_tok_ms(fn, iters: int = 100) -> float:
     t0 = time.perf_counter()
     _ = jax.device_get(chain(jnp.float32(0.0)))
     return (time.perf_counter() - t0) / iters * 1e3
+
+
+def chain_ms_args(fn, args, iters: int = 100) -> float:
+    """Like chain_ms for fn(*args)->array where args[0] is a float array
+    the chain token is folded into. Extra args are real jit ARGUMENTS, not
+    closure constants — multi-hundred-MB operands (e.g. the stage-0 dense
+    map) otherwise ship inside the tunnel compile request and trip its
+    body-size limit (HTTP 413)."""
+    @jax.jit
+    def chain(*args):
+        def body(i, carry):
+            tok, acc = carry
+            out = fn(args[0] + tok, *args[1:])
+            return (jnp.float32(jnp.sum(out)) * 1e-12,
+                    acc + jnp.float32(jnp.sum(out)))
+        return jax.lax.fori_loop(0, iters, body,
+                                 (jnp.float32(0), jnp.float32(0)))[1]
+
+    _ = jax.device_get(chain(*args))        # compile
+    t0 = time.perf_counter()
+    _ = jax.device_get(chain(*args))
+    return (time.perf_counter() - t0) / iters * 1e3
