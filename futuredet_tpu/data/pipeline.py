@@ -299,8 +299,16 @@ class NuScenesForecastDataset:
 def batches_from_dataset(ds, cfg: ExperimentConfig, batch_size: int,
                          shuffle: bool = True, seed: int = 0,
                          loop: bool = True, num_shards: int = 1,
-                         shard_id: int = 0) -> Iterator[dict]:
-    """Assemble device-ready batches; targets rasterized on device.
+                         shard_id: int = 0,
+                         device_targets: bool = True) -> Iterator[dict]:
+    """Assemble device-ready batches.
+
+    device_targets=True (default): batches carry the raw GT arrays under
+    "targets_raw" and the train step rasterizes heatmap/anno targets
+    ON-DEVICE inside its jitted body (train.step._get_targets) — the host
+    ships (B, T, M, 12) boxes, not (B, T, H, W, C) heatmaps, and the
+    assignment fuses with the step. False restores host-side build_targets
+    into "targets" (pre-rasterized layout some tests/tools use).
 
     num_shards/shard_id: per-host dataset sharding for multi-host training
     (replaces the reference's DistributedGroupSampler, loader/sampler.py).
@@ -327,18 +335,30 @@ def batches_from_dataset(ds, cfg: ExperimentConfig, batch_size: int,
                 "points_valid": jnp.asarray(
                     np.stack([s["points_valid"] for s in samples])),
             }
-            tgts = [build_targets(cfg, s["gt_boxes"], s["gt_classes"],
-                                  s["gt_valid"], s["traj_classes"])
-                    for s in samples]
-            batch["targets"] = {k: jnp.stack([t[k] for t in tgts])
-                                for k in tgts[0]}
-            if cfg.model.two_stage_refine:
-                # RoI target assignment needs the raw t0 GT boxes
-                # (ref gt_boxes_and_cls through collate, two_stage.py:181)
-                batch["targets"]["gt_boxes"] = jnp.asarray(
-                    np.stack([s["gt_boxes"][0] for s in samples]))
-                batch["targets"]["gt_valid"] = jnp.asarray(
-                    np.stack([s["gt_valid"][0] for s in samples]))
+            if device_targets:
+                batch["targets_raw"] = {
+                    "gt_boxes": jnp.asarray(
+                        np.stack([s["gt_boxes"] for s in samples])),
+                    "gt_classes": jnp.asarray(
+                        np.stack([s["gt_classes"] for s in samples])),
+                    "gt_valid": jnp.asarray(
+                        np.stack([s["gt_valid"] for s in samples])),
+                    "traj_classes": jnp.asarray(
+                        np.stack([s["traj_classes"] for s in samples])),
+                }
+            else:
+                tgts = [build_targets(cfg, s["gt_boxes"], s["gt_classes"],
+                                      s["gt_valid"], s["traj_classes"])
+                        for s in samples]
+                batch["targets"] = {k: jnp.stack([t[k] for t in tgts])
+                                    for k in tgts[0]}
+                if cfg.model.two_stage_refine:
+                    # RoI target assignment needs the raw t0 GT boxes
+                    # (ref gt_boxes_and_cls through collate, two_stage.py:181)
+                    batch["targets"]["gt_boxes"] = jnp.asarray(
+                        np.stack([s["gt_boxes"][0] for s in samples]))
+                    batch["targets"]["gt_valid"] = jnp.asarray(
+                        np.stack([s["gt_valid"][0] for s in samples]))
             if "bev_map" in samples[0]:
                 batch["bev_map"] = jnp.asarray(
                     np.stack([s["bev_map"] for s in samples]))

@@ -298,9 +298,11 @@ def rasterize_scene_map(cfg: ExperimentConfig, scene: Scene,
 
 
 def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
-               **kw) -> Dict[str, np.ndarray]:
+               device_targets: bool = False, **kw) -> Dict[str, np.ndarray]:
     """Stacked batch of scenes + targets (host numpy; targets built on device
-    in the input pipeline normally — here eagerly for tests/bench)."""
+    in the input pipeline normally — here eagerly for tests/bench).
+    device_targets=True mirrors the training pipeline's default layout:
+    raw GT under "targets_raw", rasterized inside the jitted train step."""
     import jax.numpy as jnp
     from .targets import build_targets
 
@@ -309,16 +311,27 @@ def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
         "points": jnp.asarray(np.stack([s.points for s in scenes])),
         "points_valid": jnp.asarray(np.stack([s.points_valid for s in scenes])),
     }
-    tgts = [build_targets(cfg, s.gt_boxes, s.gt_classes, s.gt_valid,
-                          s.traj_classes) for s in scenes]
-    batch["targets"] = {k: jnp.stack([t[k] for t in tgts]) for k in tgts[0]}
-    if cfg.model.two_stage_refine:
-        # RoI target assignment consumes the raw t0 GT boxes (ref
-        # gt_boxes_and_cls through collate, two_stage.py:181)
-        batch["targets"]["gt_boxes"] = jnp.asarray(
-            np.stack([s.gt_boxes[0] for s in scenes]))
-        batch["targets"]["gt_valid"] = jnp.asarray(
-            np.stack([s.gt_valid[0] for s in scenes]))
+    if device_targets:
+        batch["targets_raw"] = {
+            "gt_boxes": jnp.asarray(np.stack([s.gt_boxes for s in scenes])),
+            "gt_classes": jnp.asarray(
+                np.stack([s.gt_classes for s in scenes])),
+            "gt_valid": jnp.asarray(np.stack([s.gt_valid for s in scenes])),
+            "traj_classes": jnp.asarray(
+                np.stack([s.traj_classes for s in scenes])),
+        }
+    else:
+        tgts = [build_targets(cfg, s.gt_boxes, s.gt_classes, s.gt_valid,
+                              s.traj_classes) for s in scenes]
+        batch["targets"] = {k: jnp.stack([t[k] for t in tgts])
+                            for k in tgts[0]}
+        if cfg.model.two_stage_refine:
+            # RoI target assignment consumes the raw t0 GT boxes (ref
+            # gt_boxes_and_cls through collate, two_stage.py:181)
+            batch["targets"]["gt_boxes"] = jnp.asarray(
+                np.stack([s.gt_boxes[0] for s in scenes]))
+            batch["targets"]["gt_valid"] = jnp.asarray(
+                np.stack([s.gt_valid[0] for s in scenes]))
     if cfg.model.head.bev_map:
         # synthetic "drivable area": corridor cells under each object's
         # trajectory (stands in for the rasterized ego map the reference

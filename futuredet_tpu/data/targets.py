@@ -31,7 +31,8 @@ from ..core.gaussian import radius_with_mult, render_heatmap
 
 def _assign_one_timestep(boxes, classes, valid, timestep, *, num_classes,
                          fmap_w, fmap_h, voxel_size, pc_range, out_size_factor,
-                         gaussian_overlap, min_radius, radius_mult):
+                         gaussian_overlap, min_radius, radius_mult,
+                         class_blocked=False):
     """boxes (M, 12), classes (M,) 1-based, valid (M,). One timestep's maps.
 
     Returns hm (C, H, W) [transposed to HWC by caller], anno_box (M, 14),
@@ -64,7 +65,8 @@ def _assign_one_timestep(boxes, classes, valid, timestep, *, num_classes,
     cls0 = jnp.clip(classes - 1, 0, num_classes - 1)
 
     hm = render_heatmap(jnp.stack([ct_int_x, ct_int_y], -1), radius, ok,
-                        cls0, num_classes, fmap_w, fmap_h)
+                        cls0, num_classes, fmap_w, fmap_h,
+                        class_blocked=class_blocked)
 
     anno = jnp.stack([
         coor_x - ct_int_x, coor_y - ct_int_y, z,
@@ -77,9 +79,8 @@ def _assign_one_timestep(boxes, classes, valid, timestep, *, num_classes,
     return hm, jnp.where(ok[:, None], anno, 0.0), ind, ok, jnp.where(ok, cls0, 0)
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_classes"))
-def assign_targets(cfg: ExperimentConfig, gt_boxes, gt_classes, gt_valid,
-                   num_classes: int = 1):
+def _assign_targets(cfg: ExperimentConfig, gt_boxes, gt_classes, gt_valid,
+                    num_classes: int = 1, class_blocked: bool = False):
     """Standard family for one sample: gt_boxes (T, M, 12) -> target dict with
     leading T axis (stack over timesteps; radius mult grows with t)."""
     W, H = cfg.feature_map_size
@@ -92,7 +93,7 @@ def assign_targets(cfg: ExperimentConfig, gt_boxes, gt_classes, gt_valid,
             fmap_w=W, fmap_h=H, voxel_size=cfg.voxel.voxel_size[:2],
             pc_range=cfg.voxel.pc_range[:2], out_size_factor=a.out_size_factor,
             gaussian_overlap=a.gaussian_overlap, min_radius=a.min_radius,
-            radius_mult=a.radius_mult)
+            radius_mult=a.radius_mult, class_blocked=class_blocked)
         return jnp.transpose(hm, (1, 2, 0)), anno, ind, mask, cat
 
     hm, anno, ind, mask, cat = jax.vmap(per_t)(
@@ -100,19 +101,17 @@ def assign_targets(cfg: ExperimentConfig, gt_boxes, gt_classes, gt_valid,
     return {"hm": hm, "anno_box": anno, "ind": ind, "mask": mask, "cat": cat}
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def assign_trajectory_targets(cfg: ExperimentConfig, gt_boxes, traj_classes,
-                              gt_valid):
+def _assign_trajectory_targets(cfg: ExperimentConfig, gt_boxes,
+                               traj_classes, gt_valid):
     """Trajectory family (C=3): same boxes, class = 1-based trajectory label
     (ref :571-733). traj_classes (M,) in {1,2,3} broadcast over timesteps."""
     T = gt_boxes.shape[0]
     cls = jnp.broadcast_to(traj_classes[None, :], gt_valid.shape)
-    out = assign_targets(cfg, gt_boxes, cls, gt_valid, num_classes=3)
+    out = _assign_targets(cfg, gt_boxes, cls, gt_valid, num_classes=3)
     return {f"{k}_trajectory": v for k, v in out.items()}
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def assign_forecast_targets(cfg: ExperimentConfig, gt_boxes, gt_valid):
+def _assign_forecast_targets(cfg: ExperimentConfig, gt_boxes, gt_valid):
     """Forecast family (C=7): every timestep's map contains the boxes of ALL
     timesteps, with class = source-timestep+1 (ref :736-897). The object axis
     becomes T*M."""
@@ -123,13 +122,15 @@ def assign_forecast_targets(cfg: ExperimentConfig, gt_boxes, gt_valid):
     boxes_all = jnp.broadcast_to(flat_boxes[None], (T, T * M, D))
     valid_all = jnp.broadcast_to(flat_valid[None], (T, T * M))
     cls_all = jnp.broadcast_to(flat_cls[None], (T, T * M))
-    out = assign_targets(cfg, boxes_all, cls_all, valid_all, num_classes=7)
+    # flat_cls is repeat(arange(1, T+1), M): positionally class-blocked, so
+    # each source-timestep class renders only its own M-object slice
+    out = _assign_targets(cfg, boxes_all, cls_all, valid_all, num_classes=7,
+                          class_blocked=True)
     return {f"{k}_forecast": v for k, v in out.items()}
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def assign_multitask_targets(cfg: ExperimentConfig, gt_boxes, gt_classes,
-                             gt_valid):
+def _assign_multitask_targets(cfg: ExperimentConfig, gt_boxes, gt_classes,
+                              gt_valid):
     """Multi-task standard family (classic CenterPoint: classes partitioned
     into per-SepHead groups, ref center_head.py:321-323 + AssignLabel's
     per-task loop). Requires timesteps == 1; the leading target axis becomes
@@ -148,8 +149,8 @@ def assign_multitask_targets(cfg: ExperimentConfig, gt_boxes, gt_classes,
             lut[names.index(n) + 1] = j + 1
         tcls = jnp.asarray(lut)[jnp.clip(cls0, 0, len(names))]
         tval = val0 & (tcls > 0)
-        out = assign_targets(cfg, boxes0[None], tcls[None], tval[None],
-                             num_classes=len(task))
+        out = _assign_targets(cfg, boxes0[None], tcls[None], tval[None],
+                              num_classes=len(task))
         hm = out["hm"][0]
         if len(task) < cmax:
             hm = jnp.pad(hm, ((0, 0), (0, 0), (0, cmax - len(task))))
@@ -163,23 +164,72 @@ def assign_multitask_targets(cfg: ExperimentConfig, gt_boxes, gt_classes,
             "cat": jnp.stack(cats)}
 
 
-def build_targets(cfg: ExperimentConfig, gt_boxes, gt_classes, gt_valid,
-                  traj_classes=None) -> Dict[str, jax.Array]:
-    """Full target dict for one sample (standard [+ trajectory/forecast when
-    the sampler is trajectory-conditioned], ref AssignLabel :571)."""
+def build_targets_batch(cfg: ExperimentConfig, raw) -> Dict[str, jax.Array]:
+    """Batched target build from raw GT arrays, for use INSIDE the jitted
+    train step (the tpu-native placement: the host ships only the small
+    (B, T, M, 12) box arrays; rasterization runs on-device fused with the
+    step instead of as a per-sample host/dispatch round-trip).
+
+    raw: {"gt_boxes" (B,T,M,12), "gt_classes" (B,T,M), "gt_valid" (B,T,M),
+          "traj_classes" (B,M)}. Returns the same dict build_targets returns,
+    plus the raw t0 gt_boxes/gt_valid the two-stage RoI head consumes.
+    """
+    out = jax.vmap(lambda b, c, v, t: build_targets(cfg, b, c, v, t))(
+        raw["gt_boxes"], raw["gt_classes"], raw["gt_valid"],
+        raw["traj_classes"])
+    out["gt_boxes"] = raw["gt_boxes"][:, 0]
+    out["gt_valid"] = raw["gt_valid"][:, 0]
+    return out
+
+
+def _build_targets_impl(cfg: ExperimentConfig, gt_boxes, gt_classes,
+                        gt_valid, traj_classes=None) -> Dict[str, jax.Array]:
     h = cfg.model.head
     if h.standard and len(h.tasks) > 1:
         assert h.timesteps == 1, \
             "multi-task class groups require timesteps == 1"
-        return dict(assign_multitask_targets(cfg, gt_boxes, gt_classes,
-                                             gt_valid))
-    out = dict(assign_targets(cfg, gt_boxes, gt_classes, gt_valid,
-                              num_classes=max(1, len(cfg.data.class_names))))
+        return dict(_assign_multitask_targets(cfg, gt_boxes, gt_classes,
+                                              gt_valid))
+    out = dict(_assign_targets(cfg, gt_boxes, gt_classes, gt_valid,
+                               num_classes=max(1, len(cfg.data.class_names))))
     if cfg.assigner.sampler_type != "standard" and traj_classes is not None:
-        out.update(assign_trajectory_targets(cfg, gt_boxes, traj_classes,
-                                             gt_valid))
-        out.update(assign_forecast_targets(cfg, gt_boxes, gt_valid))
+        out.update(_assign_trajectory_targets(cfg, gt_boxes, traj_classes,
+                                              gt_valid))
+        out.update(_assign_forecast_targets(cfg, gt_boxes, gt_valid))
     return out
+
+
+_build_targets_jit = partial(jax.jit, static_argnames=("cfg",))(
+    _build_targets_impl)
+
+
+def build_targets(cfg: ExperimentConfig, gt_boxes, gt_classes, gt_valid,
+                  traj_classes=None) -> Dict[str, jax.Array]:
+    """Full target dict for one sample (standard [+ trajectory/forecast when
+    the sampler is trajectory-conditioned], ref AssignLabel :571).
+
+    Host callers get the jitted program; inside an enclosing trace (the
+    train step, a vmap, a shard_map body) the impl inlines instead — a
+    nested jit caches avals tagged with the first caller's mesh, which
+    poisons later traces under a different mesh (sharding-in-types)."""
+    from jax._src.core import trace_state_clean
+    if trace_state_clean():
+        return _build_targets_jit(cfg, gt_boxes, gt_classes, gt_valid,
+                                  traj_classes)
+    return _build_targets_impl(cfg, gt_boxes, gt_classes, gt_valid,
+                               traj_classes)
+
+
+# public aliases for direct (host-side) use of individual families — tests
+# and tools call these on concrete arrays
+assign_targets = partial(jax.jit, static_argnames=(
+    "cfg", "num_classes", "class_blocked"))(_assign_targets)
+assign_trajectory_targets = partial(jax.jit, static_argnames=("cfg",))(
+    _assign_trajectory_targets)
+assign_forecast_targets = partial(jax.jit, static_argnames=("cfg",))(
+    _assign_forecast_targets)
+assign_multitask_targets = partial(jax.jit, static_argnames=("cfg",))(
+    _assign_multitask_targets)
 
 
 # ---------------------------------------------------------------------------

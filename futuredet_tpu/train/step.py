@@ -35,6 +35,17 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
+def _get_targets(cfg: ExperimentConfig, batch):
+    """Pre-built targets if the batch carries them, else rasterize ON-DEVICE
+    from the raw GT arrays (batch["targets_raw"], the default pipeline
+    layout) — the assignment runs inside the jitted step, fused with the
+    forward/backward, instead of as per-sample host dispatches."""
+    if "targets" in batch:
+        return batch["targets"]
+    from ..data.targets import build_targets_batch
+    return build_targets_batch(cfg, batch["targets_raw"])
+
+
 def make_optimizer(cfg: ExperimentConfig, total_steps: int, params=None):
     o = cfg.train.optim
     lr = functools.partial(one_cycle_lr, total_steps=total_steps,
@@ -103,6 +114,7 @@ def make_train_step(cfg: ExperimentConfig, mesh: Mesh, total_steps: int):
 
     def local_step(state: TrainState, batch):
         def loss_fn(params):
+            targets = _get_targets(cfg, batch)
             out, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["points"], batch["points_valid"],
@@ -113,18 +125,15 @@ def make_train_step(cfg: ExperimentConfig, mesh: Mesh, total_steps: int):
                 # RoI loss on decoded proposals
                 from ..models.two_stage import two_stage_loss
                 preds, det, roi = out
-                losses = center_head_loss(cfg.model.head, preds,
-                                          batch["targets"])
+                losses = center_head_loss(cfg.model.head, preds, targets)
                 rl = two_stage_loss(
                     roi["logits"], roi["resid"], det.boxes,
-                    batch["targets"]["gt_boxes"],
-                    batch["targets"]["gt_valid"], det.valid)
+                    targets["gt_boxes"], targets["gt_valid"], det.valid)
                 losses = dict(losses, roi_cls_loss=rl["roi_cls_loss"],
                               roi_reg_loss=rl["roi_reg_loss"],
                               loss=losses["loss"] + rl["loss"])
             else:
-                losses = center_head_loss(cfg.model.head, out,
-                                          batch["targets"])
+                losses = center_head_loss(cfg.model.head, out, targets)
             return losses["loss"], (losses, mut["batch_stats"])
 
         tx = make_optimizer(cfg, total_steps, state.params)
@@ -178,6 +187,7 @@ def _make_train_step_gspmd(cfg: ExperimentConfig, mesh: Mesh,
 
     def step(state: TrainState, batch):
         def loss_fn(params):
+            targets = _get_targets(cfg, batch)
             out, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["points"], batch["points_valid"],
@@ -187,20 +197,22 @@ def _make_train_step_gspmd(cfg: ExperimentConfig, mesh: Mesh,
             # per-sample loss normalization, then batch mean: identical
             # objective to the shard_map dp path / the reference's DDP with
             # bs=1 per GPU (loss mask counts never cross samples)
+            loss_targets = {k: v for k, v in targets.items()
+                            if k not in ("gt_boxes", "gt_valid")} \
+                if cfg.model.two_stage_refine else targets
             losses = jax.vmap(
                 lambda pr, tg: center_head_loss(
                     cfg.model.head,
                     jax.tree.map(lambda x: x[None], pr),
                     jax.tree.map(lambda x: x[None], tg)))(
-                preds, batch["targets"])
+                preds, loss_targets)
             losses = jax.tree.map(lambda x: jnp.mean(x, axis=0), losses)
             if cfg.model.two_stage_refine:
                 from ..models.two_stage import two_stage_loss
                 _, det, roi = out
                 rl = two_stage_loss(
                     roi["logits"], roi["resid"], det.boxes,
-                    batch["targets"]["gt_boxes"],
-                    batch["targets"]["gt_valid"], det.valid)
+                    targets["gt_boxes"], targets["gt_valid"], det.valid)
                 losses = dict(losses, roi_cls_loss=rl["roi_cls_loss"],
                               roi_reg_loss=rl["roi_reg_loss"],
                               loss=losses["loss"] + rl["loss"])

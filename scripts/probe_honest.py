@@ -24,7 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CAPS = tuple(int(x) for x in os.environ.get(
     "PROBE_CAPS", "30000,112000,80000,28000").split(","))
-SCENE = os.environ.get("PROBE_SCENE", "spread")
+SCENE = os.environ.get("PROBE_SCENE", "lidar")
+# iters>=100 keeps the ~40 ms fixed tunnel dispatch below 0.4 ms
+# of phantom per measurement (ROADMAP measurement discipline)
+ITERS = int(os.environ.get("PROBE_ITERS", "100"))
 
 
 def main():
@@ -96,7 +99,7 @@ def main():
         # overlapped dense map build (shared: subm tables + next strided)
         t_map = chain_ms(lambda c: SC._dense_rows_ov(
             SC.SparseGrid(c.astype(jnp.int32), g.ids, g.valid),
-            dims).astype(jnp.float32)[:4], cf, iters=30)
+            dims).astype(jnp.float32)[:4], cf, iters=ITERS)
         rec("dense_rows_ov", t_map)
         dense_ov = jax.jit(functools.partial(
             SC._dense_rows_ov, dims=dims))(g)
@@ -108,7 +111,7 @@ def main():
             lambda c, dov: SC.subm_xpack_tables(
                 SC.SparseGrid(c.astype(jnp.int32), g.ids, g.valid),
                 dims, dense_ov=dov).astype(jnp.float32),
-            (cf, dense_ov), iters=30)
+            (cf, dense_ov), iters=ITERS)
         rec("subm_xpack_tables", t_tab)
         ptab = jax.jit(lambda g, dov: SC.subm_xpack_tables(
             g, dims, dense_ov=dov))(g, dense_ov)
@@ -119,13 +122,13 @@ def main():
             rng.normal(size=(27, C, C)).astype(np.float32) * 0.1)
         if C <= 32:
             t_conv = chain_ms(lambda x: SC.conv_x3(
-                x, ptab, g.valid, w), feats, iters=30)
+                x, ptab, g.valid, w), feats, iters=ITERS)
             rec("conv_x3 (subm)", t_conv, 5)
         else:
             tab27 = jax.jit(functools.partial(
                 SC.unpack_xpack_tables, V=V))(ptab)
             t_conv = chain_ms(lambda x: SC._gather_conv(
-                x, tab27, w, None, jnp.float32, "stacked"), feats, iters=30)
+                x, tab27, w, None, jnp.float32, "stacked"), feats, iters=ITERS)
             rec("stacked conv (subm)", t_conv, 5)
 
         if s < 3:
@@ -136,14 +139,14 @@ def main():
             t_dn = chain_ms(lambda c: SC.downsample_coords(
                 SC.SparseGrid(c.astype(jnp.int32), g.ids, g.valid),
                 ndims, CAPS[s + 1], pads).coords.astype(jnp.float32),
-                cf, iters=30)
+                cf, iters=ITERS)
             rec("downsample_coords", t_dn)
             # strided xpack table (probes this stage's dense map)
             t_st = chain_ms_args(
                 lambda c, dov: SC.strided_xpack_tables(
                     SC.SparseGrid(c.astype(jnp.int32), g.ids, g.valid), ng,
                     dims, dense_ov=dov, pads=pads).astype(jnp.float32),
-                (cf, dense_ov), iters=30)
+                (cf, dense_ov), iters=ITERS)
             rec("strided_xpack_tables", t_st)
 
     print(f"TOTAL (middle, honest caps): {total:.1f} ms", flush=True)

@@ -104,6 +104,27 @@ def test_render_heatmap_edge_clipping():
     np.testing.assert_allclose(hm, ref, atol=1e-5)
 
 
+def test_render_heatmap_large_radii():
+    # radii up to 45 with edge-clipped large gaussians and dense overlap —
+    # the separable max-plus renderer is exact at any radius mix
+    rng = np.random.default_rng(5)
+    H = W = 180
+    M = 300
+    cx = rng.integers(-10, W + 10, M)
+    cy = rng.integers(-10, H + 10, M)
+    radii = rng.integers(2, 46, M)
+    valid = (rng.random(M) < 0.85) & (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+    cls_ids = rng.integers(0, 3, M)
+    ours = np.asarray(G.render_heatmap(
+        np.stack([cx, cy], -1).astype(np.int32), radii.astype(np.int32),
+        valid, cls_ids.astype(np.int32), num_classes=3, fmap_w=W, fmap_h=H))
+    ref = np.zeros((3, H, W), np.float32)
+    for i in range(M):
+        if valid[i]:
+            G.draw_gaussian_np(ref[cls_ids[i]], (cx[i], cy[i]), int(radii[i]))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
 def test_trajectory_classification():
     T = 7
     times = np.full(T - 1, 0.5)

@@ -151,8 +151,21 @@ def test_batches_from_dataset_shapes(tmp_path):
                                     class_balanced=False)
     b = next(PL.batches_from_dataset(ds, cfg, 2, shuffle=False, loop=False))
     assert b["points"].shape[0] == 2
-    assert b["targets"]["hm"].shape[0] == 2
+    # default layout: raw GT for in-step on-device rasterization
+    assert b["targets_raw"]["gt_boxes"].shape[0] == 2
+    assert b["targets_raw"]["gt_boxes"].shape[-1] == 12
     assert len(b["tokens"]) == 2
+    # host-side pre-rasterized layout still available
+    bh = next(PL.batches_from_dataset(ds, cfg, 2, shuffle=False, loop=False,
+                                      device_targets=False))
+    assert bh["targets"]["hm"].shape[0] == 2
+    # the two layouts produce identical targets
+    import jax
+    from futuredet_tpu.data.targets import build_targets_batch
+    tg = build_targets_batch(cfg, b["targets_raw"])
+    for k in bh["targets"]:
+        np.testing.assert_allclose(np.asarray(tg[k]),
+                                   np.asarray(bh["targets"][k]), atol=1e-6)
 
 
 def test_painted_points_reader(tmp_path):

@@ -136,3 +136,28 @@ def test_two_stage_optimizer_actually_freezes():
     assert changed, "vel/rot must train"
     bad = [n for n in changed if not ("vel" in n or "rot" in n)]
     assert not bad, bad[:5]
+
+
+def test_in_step_device_targets_match_host_targets():
+    """targets_raw (default pipeline layout, rasterized inside the jitted
+    step) and host-prebuilt "targets" produce the SAME loss and updates."""
+    from futuredet_tpu.data.synthetic import make_batch
+
+    cfg = tiny_cfg(3, False, False)
+    bh = make_batch(cfg, 2, seed=3, n_objects=4, n_clutter=300, max_objs=16)
+    bd = make_batch(cfg, 2, seed=3, n_objects=4, n_clutter=300, max_objs=16,
+                    device_targets=True)
+    bh.pop("gt")
+    bd.pop("gt")
+    state0 = init_state(cfg, jax.random.PRNGKey(0),
+                        jax.tree.map(lambda x: x[:1], bh), total_steps=5)
+    step_fn = make_train_step(cfg, make_mesh(1), total_steps=5)
+    sh, mh = step_fn(state0, bh)
+    # state is donated — rebuild identically for the second run
+    state0 = init_state(cfg, jax.random.PRNGKey(0),
+                        jax.tree.map(lambda x: x[:1], bh), total_steps=5)
+    sd, md = step_fn(state0, bd)
+    np.testing.assert_allclose(float(mh["loss"]), float(md["loss"]),
+                               rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-6), sh.params, sd.params)
