@@ -178,9 +178,18 @@ class ModelConfig:
     # sparse middle encoder (ref: scn.py:98-146)
     middle: str = "sparse"            # "sparse" | "dense" (BEV fallback tower)
     middle_channels: Tuple[int, ...] = (16, 32, 64, 128)
-    # active-site capacity per stage (static buffers for the gather-scatter
-    # submanifold convs)
-    middle_vmax: Tuple[int, ...] = (120000, 60000, 30000, 16000)
+    # active-site capacity CEILING per stage (static buffers for the
+    # gather-scatter submanifold convs). The detector sizes each stage at
+    # min(middle_vmax[s], ceil(middle_growth[s] * voxelizer cap)) so the
+    # buffers track the input budget instead of paying a fixed worst case
+    middle_vmax: Tuple[int, ...] = (120000, 96000, 63000, 42000)
+    # generative strided-conv site growth bound per downsample stage,
+    # relative to the VOXELIZER cap: real aggregated-sweep scenes measure
+    # ~1.5x/0.97x/0.63x (scripts/occupancy.py, 30k voxels -> 45k/29k/19k
+    # sites under the spconv footprint rule); margins on top. Isolated-
+    # point synthetic worst cases can exceed these and would clip — raise
+    # middle_vmax/middle_growth for such inputs
+    middle_growth: Tuple[float, ...] = (1.6, 1.05, 0.70)
     # hybrid tail: stages >= this run as masked dense 3D convs (MXU-bound)
     # instead of 27-way gathers (HBM-latency-bound); None = fully sparse
     middle_dense_from_stage: Optional[int] = None

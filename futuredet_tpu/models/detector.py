@@ -8,6 +8,7 @@ feature maps are NHWC.
 """
 from __future__ import annotations
 
+import math
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -121,15 +122,13 @@ class VoxelNetDetector(nn.Module):
             # the Pallas windowed gather's exactness cond degenerates to
             # select-both under vmap — use the plain path when batched
             algo = "loop" if algo.startswith("window") else "stacked"
-        # a generative downsample stage can have up to 8x its input's active
-        # sites (footprint rule), so cap each stage by min(config budget,
-        # 8 * previous stage's cap) — in practice the config budgets bind,
-        # but a small voxelizer cap still shrinks the whole chain
-        caps, prev = [], max_v
-        for s, v in enumerate(c.model.middle_vmax):
-            cap = min(v, prev if s == 0 else 8 * prev)
-            caps.append(cap)
-            prev = cap
+        # stage capacities track the voxelizer budget: stage s holds up to
+        # middle_growth[s-1] * max_v generative sites (measured lidar-scene
+        # growth bounds, config.py), ceilinged by the absolute middle_vmax
+        caps = [min(c.model.middle_vmax[0], max_v)]
+        for s, v in enumerate(c.model.middle_vmax[1:], start=1):
+            g = c.model.middle_growth[s - 1]
+            caps.append(min(v, int(math.ceil(g * max_v))))
         mid_kwargs = dict(
             channels=c.model.middle_channels,
             vmax=tuple(caps),

@@ -4,12 +4,13 @@ import dataclasses, os, sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
-def _detector_caps(middle_vmax, max_v):
-    caps, prev = [], max_v
-    for s, v in enumerate(middle_vmax):
-        cap = min(v, prev if s == 0 else 8 * prev)
-        caps.append(cap)
-        prev = cap
+def _detector_caps(model_cfg, max_v):
+    # mirror of detector.py's growth-ratio rule
+    import math
+    caps = [min(model_cfg.middle_vmax[0], max_v)]
+    for s, v in enumerate(model_cfg.middle_vmax[1:], start=1):
+        caps.append(min(v, int(math.ceil(
+            model_cfg.middle_growth[s - 1] * max_v))))
     return caps
 
 def main():
@@ -57,7 +58,7 @@ def main():
         channels=cfg.model.middle_channels,
         # mirror the detector's generative-downsample cap rule
         # (detector.py: min(budget, 8*prev), prev0 = voxelizer cap)
-        vmax=tuple(_detector_caps(cfg.model.middle_vmax, max_v)),
+        vmax=tuple(_detector_caps(cfg.model, max_v)),
         grid_zyx=(gz + 1, gy, gx),
         gather_algo=cfg.model.middle_gather_algo,
         xpack_max_cin=cfg.model.middle_xpack_max_cin)

@@ -115,6 +115,7 @@ def _foldable_voxelnet_cfg():
     return cfg.replace(model=model, voxel=voxel)
 
 
+@pytest.mark.slow
 def test_fabricated_coverage_pp():
     cfg, model, variables, sd, conv = _build_and_convert("pp_forecast_n3dtf")
     rep = conv.pop("__convert_report__")
@@ -130,6 +131,7 @@ def test_fabricated_coverage_pp():
     assert kept == 0, f"{kept} param leaves not overwritten"
 
 
+@pytest.mark.slow
 def test_fabricated_coverage_voxelnet():
     cfg, model, variables, sd, conv = _build_and_convert("forecast_n3dtf")
     rep = conv.pop("__convert_report__")
@@ -376,6 +378,7 @@ def torch_scn_forward(sd, cfg, pts_np):
     return x.reshape(N, Cc * Dd, Hh, Ww)
 
 
+@pytest.mark.slow
 def test_forward_parity_voxelnet_torch_oracle():
     """Converted fabricated weights through the SPARSE VoxelNet graph: our
     jitted forward (voxelize_mean -> SparseMiddleEncoder -> folded z_crush
@@ -418,6 +421,7 @@ def test_forward_parity_voxelnet_torch_oracle():
                 err_msg=f"task {ti} head {k}")
 
 
+@pytest.mark.slow
 def test_forward_parity_pp_torch_oracle():
     """Converted fabricated weights: our jitted pp forward must match the
     torch re-execution of the reference graph to fp32 tolerance."""

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 
 from futuredet_tpu.eval.decode import decode_and_nms, expand_pseudo_tasks
 from tests.test_models import tiny_cfg
+import pytest
 
 
 def _blank_preds(cfg, B=1):
@@ -94,6 +95,7 @@ def test_decode_nms_suppresses_duplicates():
         assert (lbl == t).sum() == 1
 
 
+@pytest.mark.slow
 def test_decode_range_mask():
     cfg = tiny_cfg(1, False, False)
     cfg = cfg.replace(test=cfg.test.__class__(

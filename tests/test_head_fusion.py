@@ -88,6 +88,7 @@ def test_fused_bf16_close():
                                    rtol=0.1, atol=0.05, err_msg=k)
 
 
+@pytest.mark.slow
 def test_grads_match():
     m_f, m_u = _pair(forecast_feature=True)
     x = _x()

@@ -4,6 +4,7 @@ import jax.numpy as jnp
 
 from futuredet_tpu.ops import nms as N
 from futuredet_tpu.ops.rotated_iou import pairwise_iou_bev
+import pytest
 
 
 def rand_boxes5(n, seed=0, span=20.0):
@@ -24,6 +25,7 @@ def test_pairwise_iou_matches_polygon_oracle():
             assert abs(ours[i, j] - ref) < 2e-3, (i, j, ours[i, j], ref)
 
 
+@pytest.mark.slow
 def test_iou_identity_and_disjoint():
     a = np.array([[0, 0, 4, 2, 0.3]], np.float32)
     b = np.array([[0, 0, 4, 2, 0.3], [100, 100, 4, 2, 0.0]], np.float32)
@@ -85,6 +87,7 @@ def test_circle_nms_basic():
     assert np.asarray(sel)[:2].tolist() == [0, 2]
 
 
+@pytest.mark.slow
 def test_rotate_nms_long_suppression_chain():
     """Adversarial case for the Jacobi fixpoint: a row of boxes where each
     overlaps only its neighbors, scores strictly decreasing — greedy keeps

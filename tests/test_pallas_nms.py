@@ -4,6 +4,7 @@ import jax.numpy as jnp
 
 from futuredet_tpu.ops import nms as N
 from futuredet_tpu.ops.pallas_nms import rotate_nms_pallas
+import pytest
 
 
 def rand_boxes7(n, seed=0, span=12.0):
@@ -31,6 +32,7 @@ def test_pallas_nms_matches_oracle():
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.slow
 def test_pallas_nms_matches_xla_version():
     n = 150
     boxes = rand_boxes7(n, 5)

@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 
 from futuredet_tpu.ops import sparse_conv as SC
+import pytest
 
 
 def _rand_sparse(seed, dims=(8, 10, 12), n=60, V=128, C=4):
@@ -103,6 +104,7 @@ def _footprint_sites_oracle(coords, valid, dims, out_dims, pads):
     return got, covered
 
 
+@pytest.mark.slow
 def test_downsample_footprint_rule_and_strided_table_hits():
     """downsample_coords implements spconv's generative output-site rule
     (ref SparseConv3d, scn.py:109-146), incl. the z-pad-0 variant of
@@ -138,6 +140,7 @@ def test_downsample_footprint_rule_and_strided_table_hits():
         assert covered_idx <= hit_inputs, pads
 
 
+@pytest.mark.slow
 def test_voxelnet_sparse_forward_and_grads():
     from futuredet_tpu.models.detector import build_detector
     from tests.test_models import tiny_cfg, rand_points
@@ -254,6 +257,7 @@ def test_unpack_xpack_tables_reconstructs_plain_tables():
             np.asarray(SC.strided_gather_table(grid, ngrid, dims)))
 
 
+@pytest.mark.slow
 def test_xpack_x_boundary_no_wraparound():
     """x=0 / x=X-1 companions must not leak across y rows even though
     their linear ids are consecutive; full occupancy exercises every
@@ -344,6 +348,7 @@ def test_shared_dense_map_tables_match():
     np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
 
 
+@pytest.mark.slow
 def test_symmetric_custom_vjp_matches_autodiff():
     """The gather-transpose VJP (symmetric submanifold tables) must match
     plain autodiff gradients for features, weights and bias."""
@@ -388,6 +393,7 @@ def test_symmetric_custom_vjp_matches_autodiff():
                 float(l_sym(*args)), float(l_ref(*args)), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_strided_inverse_vjp_matches_autodiff():
     """The strided-conv custom VJP (inverse-table gather transpose) must
     match plain autodiff gradients."""
@@ -440,6 +446,7 @@ def test_strided_inverse_table_ov_matches_plain():
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(ov))
 
 
+@pytest.mark.slow
 def test_encoder_train_grads_same_across_table_layouts():
     """Training with gather_algo='xpack' (packed 9-probe table layout,
     stacked convs on unpacked tables) must produce the same loss and
@@ -476,6 +483,7 @@ def test_encoder_train_grads_same_across_table_layouts():
                                    rtol=1e-4, atol=1e-4, err_msg=str(p))
 
 
+@pytest.mark.slow
 def test_encoder_assume_sorted_matches_on_voxelizer_output():
     """voxelize_mean's slot order must satisfy the assume_sorted contract
     (ascending z-major linear id, padding at the end), and the encoder must
