@@ -112,7 +112,8 @@ def main(argv=None):
         n_batches = max(args.synthetic // batch_size, 1)
         cached = []
         for i in range(n_batches):
-            b = make_batch(cfg, batch_size, seed=args.seed + i)
+            b = make_batch(cfg, batch_size, seed=args.seed + i,
+                           device_targets=True)
             b.pop("gt")
             cached.append(b)
         batches = itertools.cycle(cached)

@@ -47,6 +47,7 @@ def main():
             max_voxels=max_v, max_points=cfg.voxel.max_points_per_voxel)
         return f + c[:, :1].astype(jnp.float32)
     t_vox = chain_ms(lambda p: vox(p), pts_j, iters=50)
+    print(f"voxelize {t_vox:6.2f}", flush=True)
 
     f, c, n, _ = jax.jit(lambda p, v: voxelize_mean(
         p, v, jnp.asarray(cfg.voxel.pc_range),
@@ -68,6 +69,7 @@ def main():
         bev, zmask = enc.apply(vars_enc, x, c, vvalid, False)
         return bev + zmask.any(-1, keepdims=True)
     t_mid = chain_ms(mid, f, iters=50)
+    print(f"middle   {t_mid:6.2f}", flush=True)
 
     model = build_detector(cfg)
     variables = jax.jit(lambda r: model.init(r, pts_j, valid_j,
@@ -80,6 +82,7 @@ def main():
         lambda p: sum(jnp.sum(v) for pd in model.apply(
             variables, p, valid_j, train=False) for v in pd.values()),
         pts_j, iters=50)
+    print(f"fwd      {t_fwd:6.2f}", flush=True)
 
     def full(p):
         det = decode_and_nms(cfg, model.apply(variables, p, valid_j,

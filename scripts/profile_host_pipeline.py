@@ -149,7 +149,9 @@ def main():
         print(f"ds.sample (1 thread):      {n / dt:6.1f} samples/s "
               f"({dt / n * 1e3:.0f} ms/sample)", flush=True)
 
-        # (b) full batch assembly incl. on-host target build + device put
+        # (b) full batch assembly + device put (default layout: raw GT under
+        # targets_raw — rasterization happens on-device inside the train
+        # step, so the host only stacks and ships small arrays)
         for B in (1, 4):
             it = batches_from_dataset(ds, cfg, batch_size=B, shuffle=True,
                                       seed=0, loop=True)
