@@ -1,10 +1,26 @@
 """End-to-end inference benchmark — prints ONE JSON line.
 
-Metric: nuScenes-val-style **sweeps/sec per chip** on the flagship
-forecast model (pp_forecast_n3dtf: 7 chained future-detection heads):
-full path points -> voxelize -> PFN -> BEV -> RPN -> 7 heads -> decode ->
-7x rotated NMS, all on device. Each sample aggregates `nsweeps` (20) lidar
-sweeps (ref configs/.../n3dtf:107), so sweeps/sec = samples/sec * 20.
+Metric: nuScenes-val-style **sweeps/sec per chip**, full path points ->
+voxelize -> encoder -> BEV -> RPN -> 7 heads -> decode -> 7x rotated NMS,
+all on device. Each sample aggregates `nsweeps` (20) lidar sweeps (ref
+configs/.../n3dtf:107), so sweeps/sec = samples/sec * 20.
+
+Two configs are measured every run (VERDICT r3 #3 — the artifact must
+carry both):
+  * flagship `pp_forecast_n3dtf` (PointPillars, 7 chained heads)
+    -> "value" (uniform points) / "value_realistic_scene" (lidar-statistics
+    clustered scene);
+  * sparse VoxelNet `forecast_n3dtf` (submanifold middle encoder)
+    -> "voxelnet_value" / "voxelnet_realistic", plus
+    "voxelnet_dropped_sites_uniform" / "_realistic": total sparse-conv
+    sites clipped by the fixed stage capacities (per forward). The
+    reference spconv NEVER drops sites, so honest numbers require 0 on the
+    physically-meaningful (realistic) scene; uniform-random points are a
+    non-physical worst case for generative sparse growth and are reported
+    with their (disclosed) clip count.
+
+BENCH_MODEL=<name> restricts to one config (experiment mode, with the
+BENCH_* strategy overrides below).
 
 vs_baseline: the north-star target is 2x an A100 running the reference
 (BASELINE.md). The reference publishes no number; we anchor on the
@@ -16,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import time
 
 import numpy as np
@@ -28,7 +45,6 @@ NSWEEPS = 20
 def _enable_compilation_cache():
     """Persistent XLA compilation cache — repeat runs skip the multi-minute
     compile (harmless no-op where unsupported)."""
-    import os
     try:
         import jax
         d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -39,10 +55,9 @@ def _enable_compilation_cache():
     except Exception:
         pass
 
-def _watchdog(seconds: float = 1800.0):
+def _watchdog(seconds: float = 2700.0):
     """The tunneled TPU backend can wedge indefinitely (backend init hangs
     if the relay died). Fail loudly instead of hanging the driver."""
-    import os
     import sys
     import threading
     import faulthandler
@@ -64,7 +79,6 @@ def _relay_alive() -> bool:
     """Fast axon-relay liveness probe: the tunneled TPU backend dials
     127.0.0.1 relay ports (/root/.tpu_init.py); if every port refuses, the
     relay is down and backend init would hang until the watchdog fires."""
-    import os
     import socket
 
     platforms = os.environ.get("JAX_PLATFORMS", "").split(",")
@@ -83,29 +97,15 @@ def _relay_alive() -> bool:
     return False
 
 
-def main():
-    _enable_compilation_cache()
-    if not _relay_alive():
-        import sys
-        sys.stderr.write("bench: axon TPU relay is down (all relay ports "
-                         "refused) — aborting instead of hanging\n")
-        raise SystemExit(3)
-    watchdog = _watchdog()
-    import jax
-    import jax.numpy as jnp
+def _bench_config(model_name):
     from futuredet_tpu.config import get_config
-    from futuredet_tpu.eval.decode import decode_and_nms
-    from futuredet_tpu.models.detector import build_detector
 
-    import os
-
-    # experiment overrides (e.g. sweeping the sparse-conv strategies on the
-    # voxelnet path): BENCH_MODEL=forecast_n3dtf BENCH_GATHER=window_bf16
-    # BENCH_DENSE_FROM=2 python bench.py. Defaults = the recorded flagship.
-    model_name = os.environ.get("BENCH_MODEL", "pp_forecast_n3dtf")
     cfg = get_config(model_name)
     cfg = cfg.replace(voxel=dataclasses.replace(
         cfg.voxel, max_points=150000, max_voxels_eval=30000))
+    # experiment overrides (e.g. sweeping the sparse-conv strategies on the
+    # voxelnet path): BENCH_MODEL=forecast_n3dtf BENCH_GATHER=window_bf16
+    # BENCH_DENSE_FROM=2 python bench.py.
     mupd = {}
     if os.environ.get("BENCH_GATHER"):
         mupd["middle_gather_algo"] = os.environ["BENCH_GATHER"]
@@ -122,33 +122,71 @@ def main():
     if os.environ.get("BENCH_VMAX"):
         mupd["middle_vmax"] = tuple(
             int(x) for x in os.environ["BENCH_VMAX"].split(","))
+    if os.environ.get("BENCH_GROWTH"):
+        g = os.environ["BENCH_GROWTH"]
+        mupd["middle_growth"] = None if g in ("none", "None") else tuple(
+            float(x) for x in g.split(","))
+    if os.environ.get("BENCH_SPARSE_DTYPE"):
+        d = os.environ["BENCH_SPARSE_DTYPE"]
+        mupd["middle_sparse_dtype"] = None if d in ("none", "None") else d
     if mupd:
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, **mupd))
-    model = build_detector(cfg)
+    return cfg
 
-    rng = np.random.default_rng(0)
-    # BENCH_BATCH=N measures batched serving throughput (sweeps/sec still
-    # normalized per sample: samples/sec = B / per-batch latency)
-    B, P = int(os.environ.get("BENCH_BATCH", "1")), cfg.voxel.max_points
+
+def _uniform_points(cfg, B, rng):
+    P = cfg.voxel.max_points
     lo, hi = cfg.voxel.pc_range[0], cfg.voxel.pc_range[3]
     pts = np.concatenate([
         rng.uniform(lo, hi, (B, P, 2)), rng.uniform(-4, 2, (B, P, 1)),
         rng.uniform(0, 1, (B, P, 2))], -1).astype(np.float32)
-    pts = jnp.asarray(pts)
-    valid = jnp.asarray(np.ones((B, P), bool))
+    return pts, np.ones((B, P), bool)
+
+
+def _realistic_points(cfg, B):
+    # lidar-statistics clustered scenes: object scan-line hits + structured
+    # background (ground-ring arcs, wall grids, noise) with real
+    # aggregated-sweep statistics — multi-hit ADJACENT voxels, which set the
+    # generative strided-conv site growth to its physical ~1x/stage
+    # (scripts/occupancy.py). BENCH_SCENE=spread restores the pre-round-3
+    # isolated-clutter mode.
+    from futuredet_tpu.data.synthetic import make_scene
+    scene_mode = os.environ.get("BENCH_SCENE", "lidar")
+    P = cfg.voxel.max_points
+    scenes = [make_scene(cfg, n_objects=48, points_per_object=500,
+                         n_clutter=P, seed=7 + i, max_objs=500,
+                         clutter_mode=scene_mode) for i in range(B)]
+    return (np.stack([s.points for s in scenes]),
+            np.stack([s.points_valid for s in scenes]))
+
+
+def measure_model(model_name: str, iters: int, B: int):
+    """Times uniform + realistic scenes for one config; returns a dict with
+    sweeps/s for both and (voxelnet only) the per-forward clipped-site
+    totals for both scenes."""
+    import jax
+    import jax.numpy as jnp
+    from futuredet_tpu.eval.decode import decode_and_nms
+    from futuredet_tpu.models.detector import (build_detector,
+                                               forward_with_drop_counters)
+
+    cfg = _bench_config(model_name)
+    model = build_detector(cfg)
+    rng = np.random.default_rng(0)
+    upts, uvalid = _uniform_points(cfg, B, rng)
+    pts = jnp.asarray(upts)
+    valid = jnp.asarray(uvalid)
 
     variables = jax.jit(lambda r: model.init(r, pts, valid, train=False))(
         jax.random.PRNGKey(0))
 
     # NOTE: block_until_ready does not reliably synchronize on the tunneled
-    # backend, and per-call device_get pays the tunnel RTT. We therefore chain
-    # `iters` full inference passes on-device inside one jit (each iteration's
-    # input perturbed by the previous output so nothing folds away) and
-    # device_get once; wall / iters == true per-sample latency. The tunnel
-    # adds ~40 ms of FIXED per-call cost (dispatch + RTT, a test-rig
-    # artifact) — 100 iterations amortize it below 1% of a sample.
-    iters = int(os.environ.get("BENCH_ITERS", "100"))
-
+    # backend, and per-call device_get pays the tunnel RTT. We therefore
+    # chain `iters` full inference passes on-device inside one jit (each
+    # iteration's input perturbed by the previous output so nothing folds
+    # away) and device_get once; wall / iters == true per-sample latency.
+    # The tunnel adds ~40 ms of FIXED per-call cost (dispatch + RTT, a
+    # test-rig artifact) — 100 iterations amortize it below 1% of a sample.
     @jax.jit
     def infer_chain(variables, pts, valid):
         def body(i, carry):
@@ -159,46 +197,82 @@ def main():
             return (tok, acc + jnp.sum(det.valid.astype(jnp.int32)))
         return jax.lax.fori_loop(0, iters, body, (jnp.float32(0.0), 0))[1]
 
-    _ = jax.device_get(infer_chain(variables, pts, valid))  # compile
-    t0 = time.perf_counter()
-    n_det = jax.device_get(infer_chain(variables, pts, valid))
-    dt = (time.perf_counter() - t0) / iters
-    samples_per_sec = B / dt
-    sweeps_per_sec = samples_per_sec * NSWEEPS
-
-    # realistic clustered-scene mode (VERDICT r1): object scan-line hits +
-    # structured lidar background (ground-ring arcs, wall grids, noise) with
-    # real aggregated-sweep statistics — multi-hit ADJACENT voxels, which set
-    # the generative strided-conv site growth to its physical ~1x/stage
-    # (scripts/occupancy.py: 30k->45k/29k/19k vs the former isolated-point
-    # clutter's non-physical 30k->108k/78k/26k). Same compiled program —
-    # only the input changes. BENCH_SCENE=spread restores the old mode.
-    realistic = None
-    if os.environ.get("BENCH_REALISTIC", "1") != "0":
-        from futuredet_tpu.data.synthetic import make_scene
-        scene_mode = os.environ.get("BENCH_SCENE", "lidar")
-        scenes = [make_scene(cfg, n_objects=48, points_per_object=500,
-                             n_clutter=P, seed=7 + i, max_objs=500,
-                             clutter_mode=scene_mode) for i in range(B)]
-        rpts = jnp.asarray(np.stack([s.points for s in scenes]))
-        rvalid = jnp.asarray(np.stack([s.points_valid for s in scenes]))
-        _ = jax.device_get(infer_chain(variables, rpts, rvalid))
+    def timed(p, v):
+        _ = jax.device_get(infer_chain(variables, p, v))  # compile/warm
         t0 = time.perf_counter()
-        _ = jax.device_get(infer_chain(variables, rpts, rvalid))
-        rdt = (time.perf_counter() - t0) / iters
-        realistic = B / rdt * NSWEEPS
+        _ = jax.device_get(infer_chain(variables, p, v))
+        dt = (time.perf_counter() - t0) / iters
+        return B / dt * NSWEEPS
 
-    watchdog.cancel()
+    out = {"uniform": timed(pts, valid)}
+
+    def drops_of(p, v):
+        _, d = forward_with_drop_counters(model, variables, p, v,
+                                          train=False)
+        return None if d is None else int(np.asarray(d).sum())
+
+    du = drops_of(pts, valid)
+    if du is not None:
+        out["dropped_uniform"] = du
+
+    if os.environ.get("BENCH_REALISTIC", "1") != "0":
+        rpts, rvalid = _realistic_points(cfg, B)
+        rp, rv = jnp.asarray(rpts), jnp.asarray(rvalid)
+        out["realistic"] = timed(rp, rv)
+        dr = drops_of(rp, rv)
+        if dr is not None:
+            out["dropped_realistic"] = dr
+    return out
+
+
+def main():
+    _enable_compilation_cache()
+    if not _relay_alive():
+        import sys
+        sys.stderr.write("bench: axon TPU relay is down (all relay ports "
+                         "refused) — aborting instead of hanging\n")
+        raise SystemExit(3)
+    watchdog = _watchdog()
+
+    iters = int(os.environ.get("BENCH_ITERS", "100"))
+    # BENCH_BATCH=N measures batched serving throughput (sweeps/sec still
+    # normalized per sample: samples/sec = B / per-batch latency)
+    B = int(os.environ.get("BENCH_BATCH", "1"))
+
+    def rnd(x):
+        return round(x, 2)
+
+    only = os.environ.get("BENCH_MODEL")
+    flagship = measure_model(only or "pp_forecast_n3dtf", iters, B)
     out = {
         "metric": "e2e_inference_sweeps_per_sec_per_chip",
-        "value": round(sweeps_per_sec, 2),
+        "value": rnd(flagship["uniform"]),
         "unit": "sweeps/s",
-        "vs_baseline": round(sweeps_per_sec / TARGET_SWEEPS_PER_SEC, 3),
+        "vs_baseline": round(flagship["uniform"] / TARGET_SWEEPS_PER_SEC, 3),
     }
-    if realistic is not None:
-        out["value_realistic_scene"] = round(realistic, 2)
+    if "realistic" in flagship:
+        out["value_realistic_scene"] = rnd(flagship["realistic"])
         out["realistic_vs_baseline"] = round(
-            realistic / TARGET_SWEEPS_PER_SEC, 3)
+            flagship["realistic"] / TARGET_SWEEPS_PER_SEC, 3)
+    for k_src, k_dst in (("dropped_uniform", "dropped_sites_uniform"),
+                         ("dropped_realistic", "dropped_sites_realistic")):
+        if k_src in flagship:
+            out[k_dst] = flagship[k_src]
+
+    if only is None:
+        vox = measure_model("forecast_n3dtf", iters, B)
+        out["voxelnet_value"] = rnd(vox["uniform"])
+        out["voxelnet_vs_baseline"] = round(
+            vox["uniform"] / TARGET_SWEEPS_PER_SEC, 3)
+        if "realistic" in vox:
+            out["voxelnet_realistic"] = rnd(vox["realistic"])
+            out["voxelnet_realistic_vs_baseline"] = round(
+                vox["realistic"] / TARGET_SWEEPS_PER_SEC, 3)
+        out["voxelnet_dropped_sites_uniform"] = vox.get("dropped_uniform")
+        out["voxelnet_dropped_sites_realistic"] = vox.get(
+            "dropped_realistic")
+
+    watchdog.cancel()
     print(json.dumps(out))
 
 

@@ -187,9 +187,14 @@ class ModelConfig:
     # relative to the VOXELIZER cap: real aggregated-sweep scenes measure
     # ~1.5x/0.97x/0.63x (scripts/occupancy.py, 30k voxels -> 45k/29k/19k
     # sites under the spconv footprint rule); margins on top. Isolated-
-    # point synthetic worst cases can exceed these and would clip — raise
-    # middle_vmax/middle_growth for such inputs
-    middle_growth: Tuple[float, ...] = (1.6, 1.05, 0.70)
+    # point synthetic worst cases can exceed these and would clip —
+    # **None disables the growth rule and honors middle_vmax exactly**
+    # (use for explicitly-sized test/oracle configs). Either way the
+    # sparse path counts clipped sites per stage and sows them as
+    # intermediates "dropped_sites" (see models/middle.py) — the reference
+    # spconv never drops sites (scn.py:109-146 allocates per-scene), so a
+    # nonzero counter means the run has left reference semantics.
+    middle_growth: Optional[Tuple[float, ...]] = (1.6, 1.05, 0.70)
     # hybrid tail: stages >= this run as masked dense 3D convs (MXU-bound)
     # instead of 27-way gathers (HBM-latency-bound); None = fully sparse
     middle_dense_from_stage: Optional[int] = None
@@ -206,6 +211,11 @@ class ModelConfig:
     # widest Cin the x-packed gather path covers (beyond this the per-site
     # lane-select routing cancels the wider-row gather win; v5e sweep)
     middle_xpack_max_cin: int = 32
+    # sparse-stage activation dtype ("bfloat16" | None=fp32). bf16 halves
+    # the gathered row bytes of every sparse conv (the stage-1 wall is
+    # gather-bandwidth); matmuls accumulate fp32. Serving mode — fp32 is
+    # the reference-parity numerics
+    middle_sparse_dtype: Optional[str] = None
     # computation dtype for the dense BEV towers (RPN + CenterHead + z_crush;
     # params and head outputs stay fp32). "bfloat16" halves their MXU time —
     # the TPU-native serving mode; None = fp32 reference-parity numerics.
@@ -415,7 +425,9 @@ def tiny_variant(cfg: ExperimentConfig) -> ExperimentConfig:
                                share_conv_channel=32)
     model = dataclasses.replace(
         cfg.model, rpn=rpn, head=head, middle_channels=(8, 16, 16, 32),
-        middle_vmax=(512, 256, 128, 64))
+        # explicit capacities, growth rule OFF: test configs must be
+        # capacity-safe by construction (middle_vmax honored exactly)
+        middle_vmax=(512, 256, 128, 64), middle_growth=None)
     return cfg.replace(
         model=model, voxel=voxel,
         test=TestConfig(post_center_limit_range=(-10., -10., -10., 10., 10., 10.),

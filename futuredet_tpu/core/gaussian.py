@@ -134,6 +134,12 @@ def render_heatmap(centers_int, radii, valid, cls_ids, num_classes, fmap_w,
     ly, lx = _log_axis_tables(centers_int, radii, valid, fmap_w, fmap_h)
     maps = []
     if class_blocked:
+        # positional slicing is only sound when the object axis really is
+        # num_classes equal blocks — a mismatched sampler config would
+        # otherwise render silently wrong per-class maps
+        assert centers_int.shape[0] % num_classes == 0, (
+            f"class_blocked requires M ({centers_int.shape[0]}) divisible "
+            f"by num_classes ({num_classes})")
         blk = centers_int.shape[0] // num_classes
         for c in range(num_classes):
             sl = slice(c * blk, (c + 1) * blk)

@@ -123,8 +123,10 @@ def _assign_forecast_targets(cfg: ExperimentConfig, gt_boxes, gt_valid):
     valid_all = jnp.broadcast_to(flat_valid[None], (T, T * M))
     cls_all = jnp.broadcast_to(flat_cls[None], (T, T * M))
     # flat_cls is repeat(arange(1, T+1), M): positionally class-blocked, so
-    # each source-timestep class renders only its own M-object slice
-    out = _assign_targets(cfg, boxes_all, cls_all, valid_all, num_classes=7,
+    # each source-timestep class renders only its own M-object slice. One
+    # class per source timestep (ref :736-897 builds car_1..car_T), so
+    # num_classes tracks T instead of hardcoding 7.
+    out = _assign_targets(cfg, boxes_all, cls_all, valid_all, num_classes=T,
                           class_blocked=True)
     return {f"{k}_forecast": v for k, v in out.items()}
 
@@ -212,7 +214,17 @@ def build_targets(cfg: ExperimentConfig, gt_boxes, gt_classes, gt_valid,
     train step, a vmap, a shard_map body) the impl inlines instead — a
     nested jit caches avals tagged with the first caller's mesh, which
     poisons later traces under a different mesh (sharding-in-types)."""
-    from jax._src.core import trace_state_clean
+    # trace_state_clean is a private API that has moved between JAX
+    # releases; treat "can't tell" as "inside a trace" (inline impl), which
+    # is always correct — the jit wrapper is only a host-side caching win
+    try:
+        from jax._src.core import trace_state_clean
+    except ImportError:
+        try:
+            from jax.core import trace_state_clean  # older releases
+        except ImportError:
+            def trace_state_clean():
+                return False
     if trace_state_clean():
         return _build_targets_jit(cfg, gt_boxes, gt_classes, gt_valid,
                                   traj_classes)

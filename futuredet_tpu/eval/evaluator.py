@@ -67,8 +67,9 @@ def detections_to_predictions(cfg: ExperimentConfig, det: Detections,
         raise NotImplementedError(
             "multi-task (class-group) configs emit GLOBAL CLASS ids as "
             "labels (decode.py), not pseudo-timestep indices — forecast "
-            "linking/eval does not apply to them; evaluate with a "
-            "detection-metric path keyed on class labels instead")
+            "linking/eval does not apply to them; use "
+            "futuredet_tpu.eval.evaluator.evaluate_detections_multitask "
+            "(class-labeled records, per-class detection metrics) instead")
     T = cfg.model.head.target_timesteps
     default_times = [DT] * (T - 1)
     boxes = np.asarray(det.boxes)

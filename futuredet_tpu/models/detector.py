@@ -43,6 +43,25 @@ def _batched_point_voxel_map(points, points_valid, cfg: ExperimentConfig,
         points=vm.points.reshape(B * P, -1))
 
 
+def middle_stage_caps(model_cfg, max_v: int) -> tuple:
+    """Sparse middle-encoder stage capacities for a voxelizer budget of
+    `max_v` sites. Stage s holds up to middle_growth[s-1] * max_v generative
+    sites (measured lidar-scene growth bounds, config.py), ceilinged by the
+    absolute middle_vmax. middle_growth=None disables the growth rule and
+    honors the configured middle_vmax exactly — explicitly-sized
+    (test/oracle) configs must never be re-capped (round-3 regression:
+    silent re-capping broke reference-graph parity). Clipping, when it does
+    happen, is counted — see `forward_with_drop_counters`."""
+    caps = [min(model_cfg.middle_vmax[0], max_v)]
+    for s, v in enumerate(model_cfg.middle_vmax[1:], start=1):
+        if model_cfg.middle_growth is None:
+            caps.append(v)
+        else:
+            g = model_cfg.middle_growth[s - 1]
+            caps.append(min(v, int(math.ceil(g * max_v))))
+    return tuple(caps)
+
+
 class PointPillarsDetector(nn.Module):
     """ref det3d/models/detectors/point_pillars.py + pillar_encoder.py."""
     cfg: ExperimentConfig
@@ -122,13 +141,7 @@ class VoxelNetDetector(nn.Module):
             # the Pallas windowed gather's exactness cond degenerates to
             # select-both under vmap — use the plain path when batched
             algo = "loop" if algo.startswith("window") else "stacked"
-        # stage capacities track the voxelizer budget: stage s holds up to
-        # middle_growth[s-1] * max_v generative sites (measured lidar-scene
-        # growth bounds, config.py), ceilinged by the absolute middle_vmax
-        caps = [min(c.model.middle_vmax[0], max_v)]
-        for s, v in enumerate(c.model.middle_vmax[1:], start=1):
-            g = c.model.middle_growth[s - 1]
-            caps.append(min(v, int(math.ceil(g * max_v))))
+        caps = middle_stage_caps(c.model, max_v)
         mid_kwargs = dict(
             channels=c.model.middle_channels,
             vmax=tuple(caps),
@@ -139,6 +152,9 @@ class VoxelNetDetector(nn.Module):
                          else None),
             gather_algo=algo,
             xpack_max_cin=c.model.middle_xpack_max_cin,
+            sparse_dtype=(jnp.bfloat16
+                          if c.model.middle_sparse_dtype == "bfloat16"
+                          else None),
             # voxelize_mean's slot order IS the grid sort order (same
             # z-major key, padding at the end) — skip the entry argsorts
             assume_sorted=True)
@@ -157,7 +173,8 @@ class VoxelNetDetector(nn.Module):
             mid = nn.vmap(
                 SparseMiddleEncoder,
                 in_axes=(0, 0, 0, None), out_axes=0,
-                variable_axes={"params": None, "batch_stats": None},
+                variable_axes={"params": None, "batch_stats": None,
+                               "intermediates": 0},
                 split_rngs={"params": False}, axis_name="batch",
                 methods=["__call__"])(
                     **mid_kwargs, axis_name=bn_axes, name="middle")
@@ -244,6 +261,43 @@ class VoxelNetDetector(nn.Module):
         preds = CenterHead(cfg=c.model.head, axis_name=self.axis_name,
                            name="head")(x, bev_map=bev_map, train=train)
         return (preds, x) if return_bev else preds
+
+
+def extract_dropped_sites(intermediates) -> Optional[jnp.ndarray]:
+    """Pull the middle encoder's per-stage clipped-site counters out of a
+    `mutable=["intermediates"]` apply result. Returns a (3,) int array
+    (downsample stages 1..3, summed over batch) or None when the forward had
+    no sparse middle (pillars / dense path). Zero everywhere == the forward
+    kept every active site, i.e. reference spconv semantics
+    (scn.py:109-146 never drops)."""
+    found: list = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == "dropped_sites":
+                    found.extend(v if isinstance(v, (tuple, list)) else [v])
+                else:
+                    walk(v)
+
+    walk(intermediates)
+    if not found:
+        return None
+    import numpy as np
+    tot = np.zeros(3, np.int64)
+    for f in found:
+        a = np.asarray(f)
+        tot += a.reshape(-1, a.shape[-1]).sum(0)  # sum any batch dims
+    return tot
+
+
+def forward_with_drop_counters(model, variables, points, points_valid,
+                               **kwargs):
+    """model.apply that also returns the sparse middle encoder's per-stage
+    dropped-site counters (None for models without one)."""
+    preds, mut = model.apply(variables, points, points_valid,
+                             mutable=["intermediates"], **kwargs)
+    return preds, extract_dropped_sites(mut.get("intermediates", {}))
 
 
 def build_detector(cfg: ExperimentConfig, axis_name: Optional[str] = None,

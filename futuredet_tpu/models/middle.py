@@ -144,21 +144,28 @@ class DenseBasicBlock(nn.Module):
 
 
 class SparseBasicBlock(nn.Module):
-    """Two submanifold 3x3x3 convs + BN + residual (ref scn.py:37-80)."""
+    """Two submanifold 3x3x3 convs + BN + residual (ref scn.py:37-80).
+
+    sparse_dtype=bf16 casts the conv INPUTS (the gathered payloads — the
+    stage wall is gather bandwidth); BN, the residual add and the outputs
+    stay fp32 (matmuls accumulate fp32 via preferred_element_type)."""
     features: int
     axis_name: Optional[str] = None
     gather_algo: str = "loop"
+    sparse_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, feats, table, valid, train: bool = False):
+        cast = (lambda a: a.astype(self.sparse_dtype)) \
+            if self.sparse_dtype is not None else (lambda a: a)
         identity = feats
         x = SparseConv(self.features, gather_algo=self.gather_algo,
-                       symmetric=True, name="conv1")(feats, table)
+                       symmetric=True, name="conv1")(cast(feats), table)
         x = MaskedBatchNorm(axis_name=self.axis_name, name="bn1")(
             x, valid, train=train)
         x = nn.relu(x)
         x = SparseConv(self.features, gather_algo=self.gather_algo,
-                       symmetric=True, name="conv2")(x, table)
+                       symmetric=True, name="conv2")(cast(x), table)
         x = MaskedBatchNorm(axis_name=self.axis_name, name="bn2")(
             x, valid, train=train)
         x = nn.relu(x + identity)
@@ -182,6 +189,9 @@ class SparseMiddleEncoder(nn.Module):
     gather_algo: str = "loop"
     # xpack stage cutoff: stages with channels > this use stacked
     xpack_max_cin: int = 32
+    # sparse-conv input dtype (None = fp32 reference numerics; bf16 halves
+    # every gathered row — serving mode, fp32 accumulation)
+    sparse_dtype: Optional[jnp.dtype] = None
     # caller guarantees (coords, feats) already sorted ascending by the
     # grid's z-major linear id with padding at the end — true for
     # ops.voxelize outputs (same sort key) — skipping the entry argsorts
@@ -195,6 +205,9 @@ class SparseMiddleEncoder(nn.Module):
          extra-conv active z-mask (Y/8, X/8, Dz_out))."""
         dense_start = (self.dense_from_stage
                        if self.dense_from_stage is not None else 4)
+        # sparse-conv input cast (bf16 serving mode; identity when None)
+        cast = (lambda a: a.astype(self.sparse_dtype)) \
+            if self.sparse_dtype is not None else (lambda a: a)
         # the Pallas windowed gather has no AD rule — training falls back
         # to the stacked custom-VJP path there; x-packed convs train
         # natively via _xpack_conv_sym_vjp / _xpack_strided_vjp
@@ -251,6 +264,12 @@ class SparseMiddleEncoder(nn.Module):
 
         dims = self.grid_zyx
         canvas = mask = None          # dense-stage state, once transitioned
+        # per-downsample-stage clipped-site counters (stages 1..3): the
+        # reference spconv never drops active sites, so any nonzero entry
+        # means this forward diverged from reference semantics. Sowed as
+        # intermediates "dropped_sites"; callers opt in with
+        # mutable=["intermediates"] (a no-op otherwise).
+        drops = []
 
         def to_dense(x, grid, dims):
             c = scatter_dense(jnp.where(grid.valid[:, None], x, 0.0),
@@ -286,7 +305,7 @@ class SparseMiddleEncoder(nn.Module):
             table = subm_table(grid, dims, dense_map)
             x = SparseConv(self.channels[0], use_bias=False,
                            gather_algo=a0, symmetric=True,
-                           name="conv_input")(x, table)
+                           name="conv_input")(cast(x), table)
             x = MaskedBatchNorm(axis_name=self.axis_name, name="bn_input")(
                 x, grid.valid, train=train)
             x = nn.relu(x)
@@ -294,6 +313,7 @@ class SparseMiddleEncoder(nn.Module):
                 x = SparseBasicBlock(self.channels[0],
                                      axis_name=self.axis_name,
                                      gather_algo=a0,
+                                     sparse_dtype=self.sparse_dtype,
                                      name=f"res0_{j}")(x, table, grid.valid,
                                                        train)
 
@@ -315,6 +335,7 @@ class SparseMiddleEncoder(nn.Module):
                                      compute_dtype=self.dense_dtype,
                                      name=f"down{s}")(canvas)
                 mask = _mask_downsample(mask, out_dims, pads)
+                drops.append(jnp.int32(0))   # dense stages never clip
                 canvas = jnp.where(
                     mask[..., None],
                     nn.relu(bn_dense(f"bn_down{s}", canvas, mask)), 0.0)
@@ -325,7 +346,10 @@ class SparseMiddleEncoder(nn.Module):
                         compute_dtype=self.dense_dtype,
                         name=f"res{s}_{j}")(canvas, mask, train)
             else:
-                ngrid = downsample_coords(grid, out_dims, self.vmax[s], pads)
+                ngrid, ndrop = downsample_coords(grid, out_dims,
+                                                 self.vmax[s], pads,
+                                                 with_dropped=True)
+                drops.append(ndrop)
                 a_prev, a_s = stage_algo(s - 1), stage_algo(s)
                 # the strided conv reads the PREVIOUS stage's grid/map
                 if packed_layout:
@@ -345,7 +369,7 @@ class SparseMiddleEncoder(nn.Module):
                     if train else None
                 x = SparseConv(self.channels[s], use_bias=False,
                                gather_algo=a_prev,
-                               name=f"down{s}")(x, dtable, inv)
+                               name=f"down{s}")(cast(x), dtable, inv)
                 x = MaskedBatchNorm(axis_name=self.axis_name,
                                     name=f"bn_down{s}")(
                     x, ngrid.valid, train=train)
@@ -357,9 +381,12 @@ class SparseMiddleEncoder(nn.Module):
                     x = SparseBasicBlock(self.channels[s],
                                          axis_name=self.axis_name,
                                          gather_algo=a_s,
+                                         sparse_dtype=self.sparse_dtype,
                                          name=f"res{s}_{j}")(x, table,
                                                              grid.valid,
                                                              train)
+
+        self.sow("intermediates", "dropped_sites", jnp.stack(drops))
 
         # z-crush (ref extra_conv :140-146 + .dense() reshape :165-168):
         # scatter to dense (Z4, Y4, X4, C) and fold z into channels

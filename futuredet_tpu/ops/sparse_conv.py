@@ -308,7 +308,11 @@ def conv_x3(features, ptab, valid, weights, bias=None):
     K = weights.shape[0]
     Cin = features.shape[1]
     gcat = _xpack_gcat(features, ptab, valid)
-    out = jnp.dot(gcat, weights.reshape(K * Cin, -1),
+    # match the gathered block's dtype (bf16 features must hit the MXU as
+    # bf16xbf16 -> fp32, not get upcast back to fp32)
+    w = weights.astype(gcat.dtype) if gcat.dtype != weights.dtype \
+        else weights
+    out = jnp.dot(gcat, w.reshape(K * Cin, -1),
                   preferred_element_type=jnp.float32)
     if bias is not None:
         out = out + bias
@@ -629,7 +633,8 @@ def subm_conv_apply(features, table, weights, bias=None,
 
 def downsample_coords(grid: SparseGrid, out_dims: Tuple[int, int, int],
                       max_out: int,
-                      pads: Tuple[int, int, int] = (1, 1, 1)) -> SparseGrid:
+                      pads: Tuple[int, int, int] = (1, 1, 1),
+                      with_dropped: bool = False):
     """Output sites of a kernel-3 stride-2 sparse conv with per-axis padding
     `pads` — spconv's GENERATIVE rule: every output position that receives at
     least one active input under the conv footprint is active. Matches the
@@ -641,7 +646,11 @@ def downsample_coords(grid: SparseGrid, out_dims: Tuple[int, int, int],
     even — so each active input yields up to 8 candidate output sites.
     Candidates are deduped by a sort + run-boundary compaction (TPU scatters
     are issue-bound; the sort+gather is cheaper) and coords are decoded from
-    the ids. Overflow past `max_out` drops the largest linear ids."""
+    the ids. Overflow past `max_out` drops the largest linear ids — the
+    reference spconv NEVER drops (it allocates per-scene), so callers should
+    pass `with_dropped=True` to receive `(grid, n_dropped)` and surface the
+    count (the middle encoder sows it; a nonzero value means this forward
+    has left reference semantics)."""
     sentinel = out_dims[0] * out_dims[1] * out_dims[2]
     p = grid.coords + jnp.asarray(pads, jnp.int32)
     hi = p // 2                                    # (V, 3)
@@ -673,7 +682,12 @@ def downsample_coords(grid: SparseGrid, out_dims: Tuple[int, int, int],
     ox = out_ids % out_dims[2]
     out_coords = jnp.where(got[:, None],
                            jnp.stack([oz, oy, ox], -1).astype(jnp.int32), -1)
-    return SparseGrid(coords=out_coords, ids=out_ids, valid=got)
+    out = SparseGrid(coords=out_coords, ids=out_ids, valid=got)
+    if with_dropped:
+        n_unique = jnp.sum(is_first.astype(jnp.int32))
+        n_kept = jnp.sum(got.astype(jnp.int32))
+        return out, n_unique - n_kept
+    return out
 
 
 def strided_gather_table(in_grid: SparseGrid, out_grid: SparseGrid, dims,

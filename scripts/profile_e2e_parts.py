@@ -5,13 +5,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 def _detector_caps(model_cfg, max_v):
-    # mirror of detector.py's growth-ratio rule
-    import math
-    caps = [min(model_cfg.middle_vmax[0], max_v)]
-    for s, v in enumerate(model_cfg.middle_vmax[1:], start=1):
-        caps.append(min(v, int(math.ceil(
-            model_cfg.middle_growth[s - 1] * max_v))))
-    return caps
+    from futuredet_tpu.models.detector import middle_stage_caps
+    return list(middle_stage_caps(model_cfg, max_v))
 
 def main():
     import jax, jax.numpy as jnp

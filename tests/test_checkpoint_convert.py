@@ -99,7 +99,10 @@ def _foldable_voxelnet_cfg():
     architectural (41 -> 21 -> 11 -> 5 -> extra_conv -> 2, scn.py:98-146),
     so the oracle config keeps the 40-bin z grid and shrinks only xy.
     middle_vmax chosen so no stage can overflow (stage s sites <= min(
-    8 * prev, out-grid cells))."""
+    8 * prev, out-grid cells)); middle_growth=None pins that sizing —
+    the lidar-statistics growth rule must never re-cap an explicitly
+    sized oracle config (round-3 regression: the growth caps silently
+    dropped ~2/3 of this geometry's stage-1 sites)."""
     import dataclasses
 
     from futuredet_tpu.config import VoxelConfig, get_config, tiny_variant
@@ -111,7 +114,8 @@ def _foldable_voxelnet_cfg():
         max_points_per_voxel=8, max_voxels_train=512, max_voxels_eval=512,
         max_points=1024)
     model = dataclasses.replace(cfg.model,
-                                middle_vmax=(512, 4096, 704, 80))
+                                middle_vmax=(512, 4096, 704, 80),
+                                middle_growth=None)
     return cfg.replace(model=model, voxel=voxel)
 
 

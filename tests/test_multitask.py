@@ -174,7 +174,9 @@ def test_multitask_forecast_eval_guard():
                      scores=np.zeros((1, 4), np.float32),
                      labels=np.zeros((1, 4), np.int32),
                      valid=np.zeros((1, 4), bool))
-    with pytest.raises(NotImplementedError):
+    # the guard must NAME the working alternative entry point
+    with pytest.raises(NotImplementedError,
+                       match="evaluate_detections_multitask"):
         detections_to_predictions(cfg, det, ["s0"])
 
 
