@@ -184,17 +184,21 @@ class ModelConfig:
     # buffers track the input budget instead of paying a fixed worst case
     middle_vmax: Tuple[int, ...] = (120000, 96000, 63000, 42000)
     # generative strided-conv site growth bound per downsample stage,
-    # relative to the VOXELIZER cap: real aggregated-sweep scenes measure
-    # ~1.5x/0.97x/0.63x (scripts/occupancy.py, 30k voxels -> 45k/29k/19k
-    # sites under the spconv footprint rule); margins on top. Isolated-
-    # point synthetic worst cases can exceed these and would clip —
+    # relative to the VOXELIZER cap. Round-4 envelope (scripts/occupancy.py
+    # sweep over the physical scene families lidar/urban/highway/gtaug x 3
+    # seeds): max observed growth (1.681, 0.982, 0.62) — the heavy GT-AUG
+    # paste family peaks stage 1 (the round-3 bound 1.6 clipped it by 2.4k
+    # sites); bounds below are observed-max + margin, guarded by
+    # tests/test_capacity.py::test_scene_families_zero_drops. Isolated-
+    # point synthetic worst cases (uniform: 3.3x/4.4x/2.1x) exceed any
+    # practical fixed capacity and would clip —
     # **None disables the growth rule and honors middle_vmax exactly**
     # (use for explicitly-sized test/oracle configs). Either way the
     # sparse path counts clipped sites per stage and sows them as
     # intermediates "dropped_sites" (see models/middle.py) — the reference
     # spconv never drops sites (scn.py:109-146 allocates per-scene), so a
     # nonzero counter means the run has left reference semantics.
-    middle_growth: Optional[Tuple[float, ...]] = (1.6, 1.05, 0.70)
+    middle_growth: Optional[Tuple[float, ...]] = (1.8, 1.05, 0.70)
     # hybrid tail: stages >= this run as masked dense 3D convs (MXU-bound)
     # instead of 27-way gathers (HBM-latency-bound); None = fully sparse
     middle_dense_from_stage: Optional[int] = None
@@ -208,9 +212,13 @@ class ModelConfig:
     # "window"/"window_bf16" (Pallas one-hot row-select, inference-only and
     # unbatched), or "hybrid" (window for Cin<=16, stacked otherwise)
     middle_gather_algo: str = "xpack"
-    # widest Cin the x-packed gather path covers (beyond this the per-site
-    # lane-select routing cancels the wider-row gather win; v5e sweep)
-    middle_xpack_max_cin: int = 32
+    # widest Cin the x-packed gather path covers. Round-4 re-sweep at
+    # honest caps (scripts/probe_wide_xpack.py): conv_x3 wins at Cin=64
+    # (1.71 vs 2.59 ms stacked, V=31.5k — the old Cin<=32 verdict predates
+    # the free routing einsums); stacked stays ahead at Cin=128 (1.21 vs
+    # 1.66: 512 B rows stream at ~2 ns/row, 1536 B xpack rows hit the wide-
+    # row issue dip). e2e voxelnet 367.9 -> 383.1 sweeps/s.
+    middle_xpack_max_cin: int = 64
     # sparse-stage activation dtype ("bfloat16" | None=fp32). bf16 halves
     # the gathered row bytes of every sparse conv (the stage-1 wall is
     # gather-bandwidth); matmuls accumulate fp32. Serving mode — fp32 is

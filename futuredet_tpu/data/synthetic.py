@@ -278,6 +278,26 @@ def make_scene(cfg: ExperimentConfig, n_objects: int = 12,
                  gt_classes=gt_classes, gt_valid=gt_valid, traj_classes=traj)
 
 
+# synthetic scene FAMILIES for the sparse-capacity growth envelope
+# (scripts/occupancy.py sweep + tests/test_capacity.py zero-drop guard):
+# styles spanning the physical lidar regimes the growth bounds must cover.
+# (n_objects, points_per_object, clutter_mode)
+SCENE_FAMILIES = {
+    "lidar":   (48, 500, "lidar"),    # the realistic bench scene
+    "urban":   (96, 800, "lidar"),    # dense: many near objects + walls
+    "highway": (12, 300, "lidar"),    # sparse: few distant objects
+    "gtaug":   (128, 600, "lidar"),   # heavy GT-AUG paste worst case
+}
+
+
+def make_family_scene(cfg: ExperimentConfig, family: str, n_clutter: int,
+                      seed: int = 7) -> Scene:
+    n_obj, ppo, mode = SCENE_FAMILIES[family]
+    return make_scene(cfg, n_objects=n_obj, points_per_object=ppo,
+                      n_clutter=n_clutter, seed=seed, max_objs=500,
+                      clutter_mode=mode)
+
+
 def rasterize_scene_map(cfg: ExperimentConfig, scene: Scene,
                         road_halfwidth: float = 3.0) -> np.ndarray:
     """Synthetic drivable-area raster: cells within `road_halfwidth` metres

@@ -1,6 +1,17 @@
-"""Per-stage active-site occupancy of the sparse middle encoder, uniform vs
-realistic clustered scenes. Informs the eval stage-capacity (middle_vmax)
-choices: capacities above true occupancy are pure gather/table padding.
+"""Per-stage active-site occupancy of the sparse middle encoder across
+scene families. Informs the shipped growth bounds (`middle_growth`,
+config.py): capacities above true occupancy are pure gather/table padding,
+capacities below it CLIP (counted by the dropped-site counters, but honest
+numbers need zero). The sweep prints per-stage growth RELATIVE TO THE
+VOXELIZER CAP — the quantity middle_growth bounds — for:
+
+  uniform     isolated uniform-area points (non-physical worst case)
+  spread      ~1/r isolated points (pre-round-3 "realistic", non-physical)
+  lidar       structured scan-lines/arcs/walls (the realistic bench scene)
+  urban       lidar stats, dense: many near objects + heavy wall clutter
+  highway     lidar stats, sparse: few distant objects, thin background
+  gtaug       lidar stats + heavy paste augmentation (128 objects — the
+              GT-AUG worst case, sample_groups sum ~30/scene in configs)
 
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/occupancy.py
 """
@@ -13,11 +24,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def scene_family(cfg, name, P, seed=7):
+    from futuredet_tpu.data.synthetic import make_family_scene, make_scene
+    if name == "uniform":
+        rng = np.random.default_rng(seed)
+        lo, hi = cfg.voxel.pc_range[0], cfg.voxel.pc_range[3]
+        pts = np.concatenate([
+            rng.uniform(lo, hi, (P, 2)), rng.uniform(-4, 2, (P, 1)),
+            rng.uniform(0, 1, (P, 2))], -1).astype(np.float32)
+        return pts, np.ones((P,), bool)
+    if name == "spread":
+        sc = make_scene(cfg, n_objects=48, points_per_object=500,
+                        n_clutter=P, seed=seed, max_objs=500,
+                        clutter_mode="spread")
+    else:
+        sc = make_family_scene(cfg, name, P, seed)
+    return sc.points, sc.points_valid
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from futuredet_tpu.config import get_config
-    from futuredet_tpu.data.synthetic import make_scene
     from futuredet_tpu.ops.sparse_conv import downsample_coords, make_grid
     from futuredet_tpu.ops.voxelize import voxelize_mean
 
@@ -27,18 +55,6 @@ def main():
     P = cfg.voxel.max_points
     gx, gy, gz = cfg.voxel.grid_size
     max_v = cfg.voxel.max_voxels_eval
-
-    rng = np.random.default_rng(0)
-    lo, hi = cfg.voxel.pc_range[0], cfg.voxel.pc_range[3]
-    uniform = np.concatenate([
-        rng.uniform(lo, hi, (P, 2)), rng.uniform(-4, 2, (P, 1)),
-        rng.uniform(0, 1, (P, 2))], -1).astype(np.float32)
-    sc_spread = make_scene(cfg, n_objects=48, points_per_object=500,
-                           n_clutter=P, seed=7, max_objs=500,
-                           clutter_mode="spread")
-    sc_lidar = make_scene(cfg, n_objects=48, points_per_object=500,
-                          n_clutter=P, seed=7, max_objs=500,
-                          clutter_mode="lidar")
 
     @jax.jit
     def stage_counts(pts, valid):
@@ -51,39 +67,48 @@ def main():
         grid = make_grid(coords, vvalid, dims)
         counts = [jnp.sum(grid.valid)]
         # generous fixed caps (not the configured budget) so the numbers
-        # show true generative occupancy; the printout asserts counts stay
-        # well below these, i.e. nothing was dropped. (Literal 8x-prev
-        # compounding caps reach 15M sites at stage 3 and take minutes to
-        # sort on the tunneled chip.)
+        # show true generative occupancy with zero drops
         caps = [max_v, 4 * max_v, 4 * max_v, 4 * max_v]
         for s in range(1, 4):
             pads = (0, 1, 1) if s == 3 else (1, 1, 1)
             out_dims = tuple((d + 2 * p - 3) // 2 + 1
                              for d, p in zip(dims, pads))
-            grid = downsample_coords(grid, out_dims, caps[s], pads)
+            grid, dropped = downsample_coords(grid, out_dims, caps[s], pads,
+                                              with_dropped=True)
             dims = out_dims
-            counts.append(jnp.sum(grid.valid))
+            counts.append(jnp.sum(grid.valid) + dropped)
         return jnp.stack(counts)
 
     vs = np.asarray(cfg.voxel.voxel_size)
     pr = np.asarray(cfg.voxel.pc_range)
-    for name, pts, v in (("uniform", uniform, np.ones((P,), bool)),
-                         ("spread", sc_spread.points, sc_spread.points_valid),
-                         ("lidar", sc_lidar.points, sc_lidar.points_valid)):
-        # true occupied-cell count before the voxelizer cap (host numpy)
-        q = pts[v]
-        cells = np.floor((q[:, :3] - pr[None, :3]) / vs[None, :]).astype(
-            np.int64)
-        inb = np.all((cells >= 0) & (cells < np.array(
-            [gx, gy, gz + 1])[None]), -1)
-        cells = cells[inb]
-        ids = (cells[:, 2] * gy + cells[:, 1]) * gx + cells[:, 0]
-        true_vox = len(np.unique(ids))
-        c = np.asarray(jax.device_get(stage_counts(jnp.asarray(pts),
-                                                   jnp.asarray(v))))
-        print(f"{name:10s} true voxels {true_vox:7d} (cap {max_v}, "
-              f"drop {max(0.0, 1 - max_v / max(true_vox, 1)):.0%}); "
-              f"stage sites: {list(map(int, c))}")
+    names = ("uniform", "spread", "lidar", "urban", "highway", "gtaug")
+    seeds = tuple(int(s) for s in os.environ.get(
+        "OCC_SEEDS", "7,19,31").split(","))
+    gmax = np.zeros(3)
+    print(f"voxelizer cap {max_v}; growth = stage sites / cap", flush=True)
+    for name in names:
+        for seed in seeds:
+            pts, v = scene_family(cfg, name, P, seed)
+            q = pts[v]
+            cells = np.floor((q[:, :3] - pr[None, :3]) / vs[None, :]).astype(
+                np.int64)
+            inb = np.all((cells >= 0) & (cells < np.array(
+                [gx, gy, gz + 1])[None]), -1)
+            cells = cells[inb]
+            ids = (cells[:, 2] * gy + cells[:, 1]) * gx + cells[:, 0]
+            true_vox = len(np.unique(ids))
+            c = np.asarray(jax.device_get(stage_counts(
+                jnp.asarray(pts), jnp.asarray(v))))
+            growth = c[1:] / max_v
+            if name not in ("uniform", "spread"):   # physical families only
+                gmax = np.maximum(gmax, growth)
+            print(f"{name:8s} seed {seed:3d}: true voxels {true_vox:7d} "
+                  f"(vox drop {max(0.0, 1 - max_v / max(true_vox, 1)):4.0%}); "
+                  f"sites {list(map(int, c))}; "
+                  f"growth {np.round(growth, 3)}", flush=True)
+    print(f"\nmax PHYSICAL growth over families/seeds: {np.round(gmax, 3)}")
+    print("shipped middle_growth must be >= this + margin "
+          "(config.py middle_growth)")
 
 
 if __name__ == "__main__":

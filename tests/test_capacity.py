@@ -180,6 +180,46 @@ def test_encoder_counts_clipped_sites():
     assert drops[1] == 0 and drops[2] == 0, drops
 
 
+def test_scene_families_zero_drops():
+    """The shipped growth bounds must cover EVERY physical scene family at
+    bench scale (the growth envelope, VERDICT r3 #5): lidar / dense-urban /
+    sparse-highway / heavy-GT-AUG-paste scenes produce zero clipped sites
+    under middle_stage_caps. Ops-level (no model compile) so it stays in
+    the fast tier; the multi-seed sweep lives in scripts/occupancy.py."""
+    import dataclasses
+
+    from futuredet_tpu.data.synthetic import SCENE_FAMILIES, \
+        make_family_scene
+    from futuredet_tpu.ops.sparse_conv import downsample_coords, make_grid
+    from futuredet_tpu.ops.voxelize import voxelize_mean
+
+    cfg = get_config("forecast_n3dtf")
+    cfg = cfg.replace(voxel=dataclasses.replace(
+        cfg.voxel, max_points=150000, max_voxels_eval=30000))
+    gx, gy, gz = cfg.voxel.grid_size
+    max_v = cfg.voxel.max_voxels_eval
+    caps = middle_stage_caps(cfg.model, max_v)
+
+    for family in SCENE_FAMILIES:
+        sc = make_family_scene(cfg, family, cfg.voxel.max_points, seed=7)
+        _, coords, _, _ = voxelize_mean(
+            jnp.asarray(sc.points), jnp.asarray(sc.points_valid),
+            jnp.asarray(cfg.voxel.pc_range),
+            jnp.asarray(cfg.voxel.voxel_size),
+            grid_size=cfg.voxel.grid_size, max_voxels=max_v,
+            max_points=cfg.voxel.max_points_per_voxel)
+        grid = make_grid(coords, coords[:, 0] >= 0, (gz + 1, gy, gx))
+        dims = (gz + 1, gy, gx)
+        for s in range(1, 4):
+            pads = (0, 1, 1) if s == 3 else (1, 1, 1)
+            od = tuple((d + 2 * p - 3) // 2 + 1
+                       for d, p in zip(dims, pads))
+            grid, dropped = downsample_coords(grid, od, caps[s], pads,
+                                              with_dropped=True)
+            dims = od
+            assert int(dropped) == 0, (family, s, int(dropped), caps)
+
+
 @pytest.mark.slow
 def test_drop_counters_detect_explicit_clipping():
     """Deliberately undersized stage-1 capacity: the forward must COUNT the

