@@ -23,7 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CAPS = tuple(int(x) for x in os.environ.get(
-    "PROBE_CAPS", "30000,112000,80000,28000").split(","))
+    # default = shipped growth-rule caps (middle_stage_caps at 30k voxels,
+    # middle_growth (1.8, 1.05, 0.70))
+    "PROBE_CAPS", "30000,54000,31500,21000").split(","))
+XPACK_MAX_CIN = int(os.environ.get("PROBE_XPACK_CIN", "64"))
 SCENE = os.environ.get("PROBE_SCENE", "lidar")
 # iters>=100 keeps the ~40 ms fixed tunnel dispatch below 0.4 ms
 # of phantom per measurement (ROADMAP measurement discipline)
@@ -116,11 +119,11 @@ def main():
         ptab = jax.jit(lambda g, dov: SC.subm_xpack_tables(
             g, dims, dense_ov=dov))(g, dense_ov)
 
-        # conv: xpack for C<=32, stacked otherwise (the configured policy)
+        # conv: xpack for C<=XPACK_MAX_CIN, stacked otherwise (config policy)
         feats = jnp.asarray(rng.normal(size=(V, C)).astype(np.float32))
         w = jnp.asarray(
             rng.normal(size=(27, C, C)).astype(np.float32) * 0.1)
-        if C <= 32:
+        if C <= XPACK_MAX_CIN:
             t_conv = chain_ms(lambda x: SC.conv_x3(
                 x, ptab, g.valid, w), feats, iters=ITERS)
             rec("conv_x3 (subm)", t_conv, 5)
