@@ -219,10 +219,13 @@ class ModelConfig:
     # 1.66: 512 B rows stream at ~2 ns/row, 1536 B xpack rows hit the wide-
     # row issue dip). e2e voxelnet 367.9 -> 383.1 sweeps/s.
     middle_xpack_max_cin: int = 64
-    # sparse-stage activation dtype ("bfloat16" | None=fp32). bf16 halves
-    # the gathered row bytes of every sparse conv (the stage-1 wall is
-    # gather-bandwidth); matmuls accumulate fp32. Serving mode — fp32 is
-    # the reference-parity numerics
+    # sparse-stage activation dtype (None=fp32 reference-parity numerics).
+    # "bfloat16": cast conv inputs to bf16 — measured NO gather win on v5e
+    # (row gathers cost per <=128-LANE row, dtype-independent; ROADMAP
+    # round-4 row-cost curve), kept as a knob only. "bf16_packed": gather
+    # int32 bf16-PAIR rows at the Cin=64 stages (halved lane count -> one
+    # issue per slab row), shift-unpacked to fp32 before the matmul —
+    # the measured serving mode (conv 1.81 -> 1.36 ms; eval-only).
     middle_sparse_dtype: Optional[str] = None
     # computation dtype for the dense BEV towers (RPN + CenterHead + z_crush;
     # params and head outputs stay fp32). "bfloat16" halves their MXU time —

@@ -155,6 +155,9 @@ class VoxelNetDetector(nn.Module):
             sparse_dtype=(jnp.bfloat16
                           if c.model.middle_sparse_dtype == "bfloat16"
                           else None),
+            # "bf16_packed": bf16-PAIR packed gathers at the Cin=64 stages
+            # only (conv_x3_packed win regime) — serving mode, eval-only
+            packed_pairs=c.model.middle_sparse_dtype == "bf16_packed",
             # voxelize_mean's slot order IS the grid sort order (same
             # z-major key, padding at the end) — skip the entry argsorts
             assume_sorted=True)

@@ -55,6 +55,7 @@ class SparseConv(nn.Module):
     use_bias: bool = True
     gather_algo: str = "loop"
     symmetric: bool = False
+    packed_pairs: bool = False
 
     @nn.compact
     def __call__(self, feats, table, inverse_table=None):
@@ -66,7 +67,8 @@ class SparseConv(nn.Module):
             if self.use_bias else None
         return subm_conv_apply(feats, table, w, b, algo=self.gather_algo,
                                symmetric=self.symmetric,
-                               inverse_table=inverse_table)
+                               inverse_table=inverse_table,
+                               packed_pairs=self.packed_pairs)
 
 
 class DenseConv3d(nn.Module):
@@ -153,6 +155,7 @@ class SparseBasicBlock(nn.Module):
     axis_name: Optional[str] = None
     gather_algo: str = "loop"
     sparse_dtype: Optional[jnp.dtype] = None
+    packed_pairs: bool = False
 
     @nn.compact
     def __call__(self, feats, table, valid, train: bool = False):
@@ -160,12 +163,14 @@ class SparseBasicBlock(nn.Module):
             if self.sparse_dtype is not None else (lambda a: a)
         identity = feats
         x = SparseConv(self.features, gather_algo=self.gather_algo,
-                       symmetric=True, name="conv1")(cast(feats), table)
+                       symmetric=True, packed_pairs=self.packed_pairs,
+                       name="conv1")(cast(feats), table)
         x = MaskedBatchNorm(axis_name=self.axis_name, name="bn1")(
             x, valid, train=train)
         x = nn.relu(x)
         x = SparseConv(self.features, gather_algo=self.gather_algo,
-                       symmetric=True, name="conv2")(cast(x), table)
+                       symmetric=True, packed_pairs=self.packed_pairs,
+                       name="conv2")(cast(x), table)
         x = MaskedBatchNorm(axis_name=self.axis_name, name="bn2")(
             x, valid, train=train)
         x = nn.relu(x + identity)
@@ -192,6 +197,12 @@ class SparseMiddleEncoder(nn.Module):
     # sparse-conv input dtype (None = fp32 reference numerics; bf16 halves
     # every gathered row — serving mode, fp32 accumulation)
     sparse_dtype: Optional[jnp.dtype] = None
+    # bf16-PAIR packed gathers (conv_x3_packed) for the stages where they
+    # win (128 < 3*Cin <= 256, i.e. Cin=64 on the reference channel chain:
+    # slab rows drop from 2 gather issues to 1; measured 1.81 -> 1.36 ms
+    # per conv at V=31.5k, scripts/probe_shift_unpack.py). Serving mode:
+    # eval-only (no VJP), inputs bf16-truncated at those stages.
+    packed_pairs: bool = False
     # caller guarantees (coords, feats) already sorted ascending by the
     # grid's z-major linear id with padding at the end — true for
     # ops.voxelize outputs (same sort key) — skipping the entry argsorts
@@ -215,6 +226,11 @@ class SparseMiddleEncoder(nn.Module):
                                         or self.gather_algo.startswith(
                                             "window"))) \
             else self.gather_algo
+        def stage_packed(cin, algo_used):
+            # conv_x3_packed win regime only; never under train (no VJP)
+            return (self.packed_pairs and not train
+                    and algo_used == "xpack" and 128 < 3 * cin <= 256)
+
         def stage_algo(s):
             # xpack only pays off for narrow channels (v5e: conv 0.9-1.0 vs
             # 1.65 ms at Cin<=32; at Cin>=64 the lane-select routing cancels
@@ -369,6 +385,8 @@ class SparseMiddleEncoder(nn.Module):
                     if train else None
                 x = SparseConv(self.channels[s], use_bias=False,
                                gather_algo=a_prev,
+                               packed_pairs=stage_packed(
+                                   self.channels[s - 1], a_prev),
                                name=f"down{s}")(cast(x), dtable, inv)
                 x = MaskedBatchNorm(axis_name=self.axis_name,
                                     name=f"bn_down{s}")(
@@ -382,6 +400,8 @@ class SparseMiddleEncoder(nn.Module):
                                          axis_name=self.axis_name,
                                          gather_algo=a_s,
                                          sparse_dtype=self.sparse_dtype,
+                                         packed_pairs=stage_packed(
+                                             self.channels[s], a_s),
                                          name=f"res{s}_{j}")(x, table,
                                                              grid.valid,
                                                              train)

@@ -26,6 +26,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 
 class SparseGrid(NamedTuple):
@@ -319,6 +320,68 @@ def conv_x3(features, ptab, valid, weights, bias=None):
     return out
 
 
+def pack_bf16_pairs(f: jax.Array) -> jax.Array:
+    """fp32 (..., C) -> int32 (..., C//2): lane j packs bf16(channel 2j) in
+    the high half-word and bf16(channel 2j+1) in the low (TRUNCATING
+    round). Pure integer lane ops — bf16 arrays are never materialized, so
+    the bf16-retiling relayout that killed the plain packed-gather variant
+    (scripts/probe_packed_conv.py, ROADMAP round-4 dead ends) never
+    happens."""
+    b = lax.bitcast_convert_type(f, jnp.uint32)
+    hi = b[..., 0::2] & jnp.uint32(0xFFFF0000)
+    lo = b[..., 1::2] >> jnp.uint32(16)
+    return lax.bitcast_convert_type(hi | lo, jnp.int32)
+
+
+def unpack_pairs_fp32(p: jax.Array) -> jax.Array:
+    """int32 (..., L) -> fp32 (..., 2L) ordered [even channels | odd
+    channels] (each exactly the bf16-truncated original value)."""
+    b = lax.bitcast_convert_type(p, jnp.uint32)
+    hi = lax.bitcast_convert_type(b & jnp.uint32(0xFFFF0000), jnp.float32)
+    lo = lax.bitcast_convert_type(b << jnp.uint32(16), jnp.float32)
+    return jnp.concatenate([hi, lo], -1)
+
+
+def conv_x3_packed(features, ptab, valid, weights, bias=None):
+    """Serving-mode conv_x3 on bf16-PAIR packed gathers: the slab rows are
+    gathered as int32 bf16-pairs (HALF the lane count — XLA row gathers
+    cost ~2.7 ns per <=128-LANE row, so 3*Cin in (128, 256] drops from 2
+    issues to 1), the x-code routing runs as an int32 one-hot einsum (0/1
+    multiply is exact on packed pairs), and the block is shift-unpacked to
+    fp32 only once before the matmul (weights row-permuted to the
+    [even | odd] unpack order). Numerics: == conv_x3 on bf16-truncated
+    inputs (tests/test_sparse_conv.py). Measured v5e V=31.5k Cin=64:
+    1.81 -> 1.36 ms (scripts/probe_shift_unpack.py); LOSES at Cin=32
+    (rows already 1-issue) and vs stacked at Cin=128 — gate on
+    128 < 3*Cin <= 256. Eval-only (integer bitcasts have no VJP)."""
+    K, Cin, Cout = weights.shape
+    assert Cin % 2 == 0, "packed pairs need even Cin"
+    H = Cin // 2
+    V = features.shape[0]
+    N = ptab.shape[1]
+    fp = pack_bf16_pairs(jnp.where(valid[:, None], features, 0.0))
+    ext = jnp.concatenate([fp, jnp.zeros((3, H), jnp.int32)], 0)
+    wide = jnp.concatenate([ext[0:V + 1], ext[1:V + 2], ext[2:V + 3]], 1)
+    blocks = []
+    for g in range(9):
+        t = ptab[g]
+        a = t & _XP_IDX_MASK
+        slab = wide[a].reshape(N, 3, H)                  # int32 pairs
+        for shift in (_XP_IDX_BITS, _XP_IDX_BITS + 2, _XP_IDX_BITS + 4):
+            code = (t >> shift) & 3
+            sel = (code[:, None] == jnp.arange(3, dtype=jnp.int32)
+                   ).astype(jnp.int32)
+            blocks.append(jnp.einsum("nl,nlc->nc", sel, slab))
+    gcat = unpack_pairs_fp32(jnp.concatenate(blocks, 1))  # (N, K*Cin)
+    w = weights.astype(jnp.float32)
+    w_perm = jnp.concatenate([w[:, 0::2, :].reshape(-1, Cout),
+                              w[:, 1::2, :].reshape(-1, Cout)], 0)
+    out = jnp.dot(gcat, w_perm, preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 def flip_xpack_tables(ptab: jax.Array) -> jax.Array:
     """Packed tables of the NEGATED kernel offsets: group g -> 8-g and the
     code_m1/code_p1 bit fields swap (x mirror); anchors are unchanged (the
@@ -550,7 +613,7 @@ def _strided_conv_vjp(features, table, inv_table, weights, bias,
 def subm_conv_apply(features, table, weights, bias=None,
                     compute_dtype=None, algo: str = "loop",
                     symmetric: bool = False,
-                    inverse_table=None):
+                    inverse_table=None, packed_pairs: bool = False):
     """Submanifold conv: features (V, Cin), table (K, V), weights (K, Cin, Cout).
 
     Output defined on the SAME active sites (submanifold semantics,
@@ -584,6 +647,10 @@ def subm_conv_apply(features, table, weights, bias=None,
         # subm_xpack_tables / strided_xpack_tables (see conv_x3). Under
         # training the custom VJPs keep backward at x-packed speed too.
         ptab, valid_in = table
+        if packed_pairs:
+            # bf16-pair serving mode (eval-only: no VJP) — see
+            # conv_x3_packed for the win regime / numerics contract
+            return conv_x3_packed(features, ptab, valid_in, weights, bias)
         if symmetric:
             return _xpack_conv_sym_vjp(features, ptab, valid_in, weights,
                                        bias)
