@@ -40,7 +40,10 @@ def _batched_point_voxel_map(points, points_valid, cfg: ExperimentConfig,
         slot=slot, rank=vm.rank.reshape(-1), valid=vm.valid.reshape(-1),
         coords=vm.coords.reshape(B * max_voxels, 3),
         num_points=vm.num_points.reshape(-1), num_voxels=vm.num_voxels,
-        points=vm.points.reshape(B * P, -1))
+        points=vm.points.reshape(B * P, -1),
+        # per-sample run machinery is meaningless in the flat batch space —
+        # batched consumers reduce via the (already batch-offset) slots
+        is_first=vm.is_first.reshape(-1), run_bounds=vm.run_bounds)
 
 
 def middle_stage_caps(model_cfg, max_v: int) -> tuple:

@@ -90,7 +90,9 @@ def _dense_index_rows(grid: SparseGrid, dims) -> jax.Array:
     rows = -(-(total + 1) // L) + 1
     dense = jnp.full((rows * L,), V, jnp.int32)
     idx = jnp.where(grid.valid, grid.ids, rows * L - 1)
-    dense = dense.at[idx].set(jnp.arange(V, dtype=jnp.int32))
+    # grid.ids ascend (sentinel padding at the end), so the scatter is sorted
+    dense = dense.at[idx].set(jnp.arange(V, dtype=jnp.int32),
+                              indices_are_sorted=True)
     return dense.reshape(rows, L)
 
 
@@ -131,6 +133,15 @@ _OFFS9 = [(dz, dy, 0) for dz in (-1, 0, 1) for dy in (-1, 0, 1)]
 _OV_STRIDE = _PROBE_LANES - 2
 
 
+# maps at or under this many cells build via the sorted main-lane scatter +
+# halo-column rewrite (the full-array lane concat costs ~2 copies of the
+# map, cheap for small maps, while dropping 2V of the 3V scatter issues:
+# measured 1.63 -> 0.90 ms at stage-1 geometry, scripts/probe_mapbuild.py);
+# larger maps (stage 0, ~345 MB) keep the 3V fused scatter — there the
+# column rewrite's full-map copy costs more than the halo scatters
+_COLFIX_MAX_CELLS = 32 * 1024 * 1024
+
+
 def _dense_rows_ov(grid: SparseGrid, dims) -> jax.Array:
     """Overlapped cell -> site-index map, (R, 128) int32 (V where empty).
 
@@ -145,13 +156,23 @@ def _dense_rows_ov(grid: SparseGrid, dims) -> jax.Array:
     r0 = ids // S
     trash = rows * L - 1
     p_main = jnp.where(grid.valid, r0 * L + ids - S * r0 + 1, trash)
+    ar = jnp.arange(V, dtype=jnp.int32)
+    if total <= _COLFIX_MAX_CELLS:
+        # grid.ids ascend (sentinel-padded), so p_main ascends too — the
+        # sorted single scatter + halo-column rewrite beats the 3V scatter
+        d = dense.at[p_main].set(ar, indices_are_sorted=True).reshape(
+            rows, L)
+        # lane 0 of row r mirrors lane 126 of row r-1 (cell Sr - 1);
+        # lane 127 of row r mirrors lane 1 of row r+1 (cell Sr + S)
+        col0 = jnp.concatenate([d[:1, 0], d[:-1, S]])[:, None]
+        colL = jnp.concatenate([d[1:, 1], d[-1:, L - 1]])[:, None]
+        return jnp.concatenate([col0, d[:, 1:L - 1], colL], 1)
     # id == S*(r0+1) - 1 also sits at lane 0 of row r0+1
     p_next = jnp.where(grid.valid & (ids % S == S - 1),
                        (r0 + 1) * L, trash)
     # id == S*r0 also sits at lane 127 of row r0-1 (when r0 > 0)
     p_prev = jnp.where(grid.valid & (ids % S == 0) & (r0 > 0),
                        (r0 - 1) * L + L - 1, trash)
-    ar = jnp.arange(V, dtype=jnp.int32)
     # one fused scatter (three sequential .at[].set updates made XLA
     # materialize intermediate copies of the multi-hundred-MB map)
     dense = dense.at[jnp.concatenate([p_main, p_next, p_prev])].set(
@@ -782,6 +803,8 @@ def scatter_dense(features, grid: SparseGrid, dims):
     Z, Y, X = dims
     idx = jnp.where(grid.valid, grid.ids, Z * Y * X)
     canvas = jnp.zeros((Z * Y * X + 1, features.shape[-1]), features.dtype)
+    # grid.ids ascend with sentinel padding at the end -> sorted scatter
     canvas = canvas.at[idx].set(
-        jnp.where(grid.valid[:, None], features, 0.0))
+        jnp.where(grid.valid[:, None], features, 0.0),
+        indices_are_sorted=True)
     return canvas[:-1].reshape(Z, Y, X, features.shape[-1])

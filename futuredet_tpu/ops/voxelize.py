@@ -49,6 +49,10 @@ class PointVoxelMap(NamedTuple):
     num_points: jax.Array  # (max_voxels,) int32 (capped at max_points)
     num_voxels: jax.Array  # () int32
     points: jax.Array      # (P, F) the points, sorted by voxel slot
+    is_first: jax.Array    # (P,) bool run head in the sorted order
+    run_bounds: jax.Array  # (max_voxels + 1,) int32 run start positions
+    #   in the sorted order (P-clamped); entry v+1 - 1 is the inclusive end
+    #   of voxel v's run — used by the segmented-scan reductions below
 
 
 def _compute_coords(points, pc_range, voxel_size, grid_size):
@@ -128,7 +132,8 @@ def point_voxel_map(points, point_valid, pc_range, voxel_size, *,
 
     return PointVoxelMap(slot=slot_c, rank=rank, valid=keep, coords=coords,
                          num_points=num_points, num_voxels=num_voxels,
-                         points=spts)
+                         points=spts, is_first=is_first,
+                         run_bounds=first_pos1)
 
 
 @partial(jax.jit, static_argnames=("grid_size", "max_voxels", "max_points"))
@@ -164,11 +169,37 @@ def voxelize_mean(points, point_valid, pc_range, voxel_size, *,
     m = point_voxel_map(points, point_valid, pc_range, voxel_size,
                         grid_size=grid_size, max_voxels=max_voxels,
                         max_points=max_points)
-    feats = jax.ops.segment_sum(
-        jnp.where(m.valid[:, None], m.points, 0.0), m.slot,
-        num_segments=max_voxels + 1)[:max_voxels]
+    feats = segmented_run_sums(
+        jnp.where(m.valid[:, None], m.points, 0.0), m.is_first, m.run_bounds)
     denom = jnp.maximum(m.num_points, 1).astype(points.dtype)[:, None]
     return feats / denom, m.coords, m.num_points, m.num_voxels
+
+
+def segmented_run_sums(values, is_first, run_bounds):
+    """Per-run sums of `values` (P, F) whose runs are CONTIGUOUS in the
+    leading axis (run v = positions [run_bounds[v], run_bounds[v+1] - 1]),
+    via one inclusive segmented scan + a boundary gather.
+
+    Replaces `segment_sum` on the sorted voxelizer output: a P-row TPU
+    scatter-add issues ~12-18 ns per row (1.4 ms at P=150k) while the
+    associative scan streams (~0.3-0.5 ms measured,
+    scripts/probe_reader.py). Unlike a plain-cumsum difference (whose fp32
+    error scales with the GLOBAL prefix magnitude — ~1 absolute at 150k
+    points), the segmented scan's partial sums never leave the run, so
+    accuracy matches per-voxel pairwise summation. Empty runs return 0.
+    """
+    P = values.shape[0]
+
+    def comb(a, b):
+        sa, fa = a
+        sb, fb = b
+        return jnp.where(fb[:, None], sb, sa + sb), fa | fb
+
+    sums, _ = jax.lax.associative_scan(comb, (values, is_first))
+    V = run_bounds.shape[0] - 1
+    got = run_bounds[1:] > run_bounds[:-1]
+    ends = jnp.clip(run_bounds[1:] - 1, 0, P - 1)
+    return jnp.where(got[:V, None], sums[ends][:V], 0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -123,6 +123,34 @@ def test_voxelnet_forward():
     assert preds[0]["hm"].shape == (2, H, W, 1)
 
 
+def test_voxelnet_bf16_packed_serving_close_to_fp32():
+    """Serving mode (middle_sparse_dtype='bf16_packed': conv_x3_packed at the
+    Cin=64 sparse stages) must track the fp32 reference-parity forward to
+    bf16-truncation accuracy end-to-end — guards the disclosed numerics
+    contract of the bench's voxelnet_serving number."""
+    cfg = tiny_cfg(1, False, False, detector="voxelnet")
+    # a Cin=64 stage so the packed win-regime (128 < 3*Cin <= 256) engages
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, middle_channels=(8, 16, 64, 64),
+        middle_vmax=(512, 256, 128, 64)))
+    pts, valid = rand_points(B=1)
+    model = build_detector(cfg)
+    params = model.init(jax.random.PRNGKey(0), pts, valid, train=False)
+    ref = model.apply(params, pts, valid, train=False)
+
+    scfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, middle_sparse_dtype="bf16_packed"))
+    smodel = build_detector(scfg)
+    got = smodel.apply(params, pts, valid, train=False)
+
+    for r, g in zip(ref, got):
+        for k in r:
+            a, b = np.asarray(r[k]), np.asarray(g[k])
+            scale = max(1.0, float(np.abs(a).max()))
+            np.testing.assert_allclose(b, a, atol=0.05 * scale,
+                                       err_msg=f"pred '{k}' diverged")
+
+
 def test_focal_loss_perfect_prediction_near_zero():
     from futuredet_tpu.models.losses import fast_focal_loss
     B, H, W, C, M = 1, 8, 8, 1, 4
