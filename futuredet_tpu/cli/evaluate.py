@@ -54,6 +54,11 @@ def parse_args(argv=None):
                    help="report mean per-sample inference latency over the "
                         "middle third of the eval set "
                         "(ref tools/dist_test.py:204-240)")
+    p.add_argument("--feed_dtype", default="int16",
+                   choices=["int16", "fp16", "fp32"],
+                   help="host->device point wire format (data/feed.py): "
+                        "int16 fixed-point halves the transfer bytes with "
+                        "<=4 mm coordinate error; fp32 = exact feed")
     p.add_argument("--tta", default="none", choices=["none", "map", "box"],
                    help="double-flip test-time augmentation: 'map' averages "
                         "unflipped head maps (reference formulation), 'box' "
@@ -171,7 +176,11 @@ def main(argv=None):
             # data axis must divide the batch (P("data") shards batch dim)
             mesh = make_mesh_2d(data_axis_size(args.batch_size, args.space),
                                 args.space)
+        from ..data.feed import unpack_batch
         fwd = make_eval_forward(cfg, mesh)
+        # the compact wire feed (--feed_dtype) is decoded INSIDE the jitted
+        # program, before any consumer (fuses into the voxelizer's first
+        # elementwise pass)
         if cfg.model.two_stage_refine:
             # RoI-refined detections come straight out of the forward
             # (ref two_stage.py post_process :120-155)
@@ -180,18 +189,21 @@ def main(argv=None):
                                  "configs")
             from ..models.two_stage import refined_detections
             infer = jax.jit(lambda p, s, b: (
-                lambda out: refined_detections(out[1], out[2]))(fwd(p, s, b)))
+                lambda out: refined_detections(out[1], out[2]))(
+                    fwd(p, s, unpack_batch(b))))
         elif args.tta != "none":
             from ..eval.tta import infer_double_flip, infer_double_flip_map
             tta_fn = (infer_double_flip_map if args.tta == "map"
                       else infer_double_flip)
-            infer = jax.jit(lambda p, s, b: tta_fn(
-                cfg, lambda pts, pv: fwd(p, s, {"points": pts,
-                                                "points_valid": pv}),
-                b["points"], b["points_valid"]))
+            infer = jax.jit(lambda p, s, b: (
+                lambda ub: tta_fn(
+                    cfg, lambda pts, pv: fwd(p, s, {"points": pts,
+                                                    "points_valid": pv}),
+                    ub["points"], ub["points_valid"]))(unpack_batch(b)))
         else:
             infer = jax.jit(
-                lambda p, s, b: decode_and_nms(cfg, fwd(p, s, b)))
+                lambda p, s, b: decode_and_nms(cfg,
+                                               fwd(p, s, unpack_batch(b))))
 
     # multi-task class-group configs are detection-only: labels are global
     # class ids, there is no forecast linking (classic CenterPoint eval)
@@ -253,10 +265,16 @@ def main(argv=None):
         lat = []
         inflight = deque()
 
+        from ..data.feed import pack_points
+
         def dev_slice(b):
-            return jax.device_put({k: v for k, v in b.items()
-                                   if k in ("points", "points_valid",
-                                            "bev_map")})
+            out = {k: v for k, v in b.items()
+                   if k in ("points", "points_valid", "bev_map")}
+            # compact wire format: int16 fixed-point halves the
+            # tunnel-bound H2D point bytes (data/feed.py)
+            out["points"] = pack_points(np.asarray(out["points"]),
+                                        args.feed_dtype)
+            return jax.device_put(out)
 
         # double-buffered host->device feed: issue batch i+1's async
         # device_put while batch i computes, so the (multi-MB points)

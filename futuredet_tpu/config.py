@@ -219,13 +219,18 @@ class ModelConfig:
     # 1.66: 512 B rows stream at ~2 ns/row, 1536 B xpack rows hit the wide-
     # row issue dip). e2e voxelnet 367.9 -> 383.1 sweeps/s.
     middle_xpack_max_cin: int = 64
-    # sparse-stage activation dtype (None=fp32 reference-parity numerics).
-    # "bfloat16": cast conv inputs to bf16 — measured NO gather win on v5e
-    # (row gathers cost per <=128-LANE row, dtype-independent; ROADMAP
-    # round-4 row-cost curve), kept as a knob only. "bf16_packed": gather
-    # int32 bf16-PAIR rows at the Cin=64 stages (halved lane count -> one
-    # issue per slab row), shift-unpacked to fp32 before the matmul —
-    # the measured serving mode (conv 1.81 -> 1.36 ms; eval-only).
+    # sparse-stage activation dtype (None = fp32 reference-parity numerics,
+    # the default). "bf16_packed": gather int32 bf16-PAIR rows at the
+    # Cin=64 stages, shift-unpacked to fp32 before the matmul
+    # (ops.sparse_conv.conv_x3_packed). Round-4's isolated probe measured
+    # the conv 1.81 -> 1.36 ms (probe_shift_unpack.py) and VERDICT r4
+    # asked for promotion — but the round-5 e2e A/B (BENCH run, same HEAD,
+    # only this knob flipped) measured voxelnet 369 -> 219 sweeps/s: the
+    # packed conv REGRESSES ~7 ms/conv inside the full encoder graph
+    # (pack/bitcast chains defeat XLA fusion around the residual blocks).
+    # Promotion retracted; knob retained with this record. "bfloat16":
+    # plain bf16 conv-input cast — measured NO gather win on v5e (row
+    # gathers cost per <=128-LANE row, dtype-independent).
     middle_sparse_dtype: Optional[str] = None
     # computation dtype for the dense BEV towers (RPN + CenterHead + z_crush;
     # params and head outputs stay fp32). "bfloat16" halves their MXU time —

@@ -36,14 +36,24 @@ def _batched_point_voxel_map(points, points_valid, cfg: ExperimentConfig,
     offs = (jnp.arange(B, dtype=jnp.int32) * max_voxels)[:, None]
     # dropped points keep the global trash slot B*max_voxels
     slot = jnp.where(vm.valid, vm.slot + offs, B * max_voxels).reshape(-1)
+    # run machinery in the flat (B*P)-position space: per-sample run starts
+    # shifted by each sample's point offset, final bound = B*P. Valid for
+    # segmented_run_sums because (a) each sample's flat positions are
+    # contiguous and sample b+1's first run (if any) starts a fresh
+    # is_first head at flat position (b+1)*P, (b) run heads of DROPPED
+    # voxels (slot capped at max_voxels) are removed below, so the last
+    # kept run's scan segment extends over masked-zero positions only —
+    # run values must be masked by point validity before the scan, the
+    # same contract the per-sample map already has.
+    rb = vm.run_bounds + (jnp.arange(B, dtype=jnp.int32) * P)[:, None]
+    run_bounds = jnp.concatenate([rb[:, :-1].reshape(-1), rb[-1:, -1]])
+    is_first = (vm.is_first & (vm.slot < max_voxels)).reshape(-1)
     return PointVoxelMap(
         slot=slot, rank=vm.rank.reshape(-1), valid=vm.valid.reshape(-1),
         coords=vm.coords.reshape(B * max_voxels, 3),
         num_points=vm.num_points.reshape(-1), num_voxels=vm.num_voxels,
         points=vm.points.reshape(B * P, -1),
-        # per-sample run machinery is meaningless in the flat batch space —
-        # batched consumers reduce via the (already batch-offset) slots
-        is_first=vm.is_first.reshape(-1), run_bounds=vm.run_bounds)
+        is_first=is_first, run_bounds=run_bounds)
 
 
 def middle_stage_caps(model_cfg, max_v: int) -> tuple:

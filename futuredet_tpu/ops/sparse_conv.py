@@ -32,10 +32,29 @@ from jax import lax
 class SparseGrid(NamedTuple):
     """Active-site set. `dims` is passed separately to every op (keeping it
     out of the pytree so grids cross jit boundaries without the static shape
-    turning into a traced leaf)."""
+    turning into a traced leaf).
+
+    INVARIANT (load-bearing): `ids` ascend, with every invalid site holding
+    the sentinel (= prod(dims)) at the tail. The dense-map builders
+    (`_dense_index_rows`, `_dense_rows_ov`) scatter with
+    `indices_are_sorted=True` and the xpack tables assume cell-triple
+    members are contiguous array rows — an unsorted grid produces silently
+    wrong maps ON TPU (no error). Build grids via `make_grid`, or only from
+    sources that emit ascending-id order (`voxelize_mean` slots,
+    `downsample_coords` outputs). `check_sorted` asserts the invariant in
+    tests."""
     coords: jax.Array    # (V, 3) int32 zyx, sorted by linear id; -1 padded
     ids: jax.Array       # (V,) int32 linear ids; sentinel (=prod(dims)) padded
     valid: jax.Array     # (V,) bool
+
+
+def check_sorted(grid: SparseGrid, dims) -> jax.Array:
+    """True iff the SparseGrid invariant holds (ids ascend; invalids carry
+    the sentinel at the tail). Test/debug helper — not called on hot paths."""
+    sentinel = dims[0] * dims[1] * dims[2]
+    ids = jnp.where(grid.valid, grid.ids, sentinel)
+    return jnp.all(ids[1:] >= ids[:-1]) & jnp.all(
+        jnp.where(grid.valid, grid.ids < sentinel, grid.ids == sentinel))
 
 
 def linear_ids(coords, dims):
@@ -297,7 +316,14 @@ def _xpack_gcat(features, ptab, valid):
     """The x-packed gathered block (N, 27*Cin): for each kernel-offset
     group ONE (3*Cin)-wide row is fetched from the pre-widened operand
     wide[u] = [f[u], f[u+1], f[u+2]] (built by streaming shifts), then
-    2-bit lane codes route the slab lanes to their dx taps."""
+    2-bit lane codes route the slab lanes to their dx taps.
+
+    Routing formulation (probe_route3.py, v5e): the 27 per-tap
+    "nl,nlc->nc" one-hot einsums below ARE the fast form — XLA fuses the
+    three taps of a group into one slab traversal. The "obvious"
+    single-read batched form ("ntl,nlc->ntc", one einsum per group) is
+    2-3x SLOWER (1.61 -> 4.52 ms per Cin=32 conv at V=54k: batched tiny
+    3x3 matmuls defeat the elementwise fusion). Do not re-explore."""
     V, Cin = features.shape
     N = ptab.shape[1]
     fv = jnp.where(valid[:, None], features, 0.0)

@@ -37,12 +37,18 @@ def main():
         cfg.voxel, max_points=150000, max_voxels_eval=30000))
     P = cfg.voxel.max_points
     rng = np.random.default_rng(0)
-    lo, hi = cfg.voxel.pc_range[0], cfg.voxel.pc_range[3]
-    pts = np.concatenate([
-        rng.uniform(lo, hi, (1, P, 2)), rng.uniform(-4, 2, (1, P, 1)),
-        rng.uniform(0, 1, (1, P, 2))], -1).astype(np.float32)
+    # MIDDLE_SCENE=uniform|blob|lidar (default lidar = the realistic
+    # bench scene; blob = the round-5 capacity-safe uniform scene)
+    scene = os.environ.get("MIDDLE_SCENE", "lidar")
+    import bench
+    if scene == "uniform":
+        pts, valid = bench._uniform_points(cfg, 1, rng)
+    elif scene == "blob":
+        pts, valid = bench._uniform_blob_points(cfg, 1, rng)
+    else:
+        pts, valid = bench._realistic_points(cfg, 1)
     pts_j = jnp.asarray(pts)
-    valid_j = jnp.ones((1, P), bool)
+    valid_j = jnp.asarray(valid)
 
     model = build_detector(cfg)
     variables = jax.jit(

@@ -49,7 +49,12 @@ def main():
             cfg = bench._bench_config(name)
             model = build_detector(cfg)
             rng = np.random.default_rng(0)
-            upts, uvalid = bench._uniform_points(cfg, B, rng)
+            # same scene family measure_model times (sparse configs use the
+            # capacity-safe blobbed uniform scene since round 5)
+            sparse = (cfg.model.detector == "voxelnet"
+                      and cfg.model.middle == "sparse")
+            upts, uvalid = (bench._uniform_blob_points if sparse
+                            else bench._uniform_points)(cfg, B, rng)
             pts, valid = jnp.asarray(upts), jnp.asarray(uvalid)
             variables = jax.jit(
                 lambda r: model.init(r, pts, valid, train=False))(

@@ -146,6 +146,50 @@ def test_fabricated_coverage_voxelnet():
     assert "extra_conv_folded" in rep
 
 
+def test_fabricated_coverage_full_n3dtf_tree():
+    """FAST-TIER smoke over the FULL forecast_n3dtf module tree (real
+    channel chain 16/32/64/128, full (5,5) RPN, 7 chained SepHeads): the
+    converter's key table must cover the entire real key space even when
+    the env-gated real-checkpoint test skips (VERDICT r4 #8). The key
+    space depends only on the module tree, not grid size — so shrink the
+    xy grid (keep the architectural 40-bin z chain) to keep init cheap."""
+    import dataclasses
+
+    from futuredet_tpu.config import VoxelConfig, get_config
+
+    cfg = get_config("forecast_n3dtf")
+    voxel = VoxelConfig(
+        pc_range=(-16.0, -16.0, -5.0, 16.0, 16.0, 3.0),
+        voxel_size=(0.5, 0.5, 0.2),          # grid (64, 64, 40) -> D0 = 41
+        max_points_per_voxel=8, max_voxels_train=512, max_voxels_eval=512,
+        max_points=1024)
+    cfg = cfg.replace(
+        voxel=voxel,
+        model=dataclasses.replace(cfg.model,
+                                  middle_vmax=(512, 4096, 2048, 512),
+                                  middle_growth=None),
+        test=dataclasses.replace(
+            cfg.test, nms=dataclasses.replace(cfg.test.nms,
+                                              pre_max_size=128,
+                                              post_max_size=32)))
+    cfg2, model, variables, sd, conv = _build_and_convert(
+        "forecast_n3dtf", cfg=cfg)
+    rep = conv.pop("__convert_report__")
+    assert not rep["missing_ref_keys"], rep["missing_ref_keys"][:10]
+    assert not rep["unused_ref_keys"], rep["unused_ref_keys"][:5]
+    # the real z chain (41 -> ... -> extra_conv) must fold into z_crush
+    assert rep["extra_conv_folded"], rep
+    # converted weights drive a finite forward
+    pts = np.zeros((1, 64, 5), np.float32)
+    pts[0, :, 0] = np.linspace(-10, 10, 64)
+    pts[0, :, 1] = np.linspace(-10, 10, 64)
+    preds = model.apply(
+        {"params": conv["params"], "batch_stats": conv["batch_stats"]},
+        jnp.asarray(pts), jnp.ones((1, 64), bool), train=False)
+    for p in preds:
+        assert np.isfinite(np.asarray(p["hm"])).all()
+
+
 # ---------------------------------------------------------------------------
 # pure-torch functional re-execution of the reference pp forward
 # ---------------------------------------------------------------------------
@@ -498,7 +542,12 @@ def test_real_reference_checkpoint_parity():
         convert_reference_checkpoint, load_reference_state_dict)
 
     name = os.environ.get("FUTUREDET_REF_MODEL", "forecast_n3dtf")
+    import dataclasses
     cfg = get_config(name)
+    # box-level parity demands fp32 reference numerics: disable the
+    # bf16-pair packed-gather serving default for the comparison forward
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, middle_sparse_dtype=None))
     sd = load_reference_state_dict(path)
     model = build_detector(cfg)
     pts = real_ckpt_fixed_scene()

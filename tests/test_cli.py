@@ -110,3 +110,39 @@ def test_cli_roundtrip_from_info_pkl(tmp_path, monkeypatch):
                "--forecast_mode", "velocity_constant", "--out", str(out)])
     doc = json.loads(out.read_text())
     assert "car" in doc["mean_dist_aps"]
+
+
+def test_point_feed_pack_unpack_bounds():
+    """Wire-format quantization error bounds (data/feed.py): int16 feed is
+    half the bytes with <=2 mm xyz error (<= 1/2 ulp of the 1/256 scale)
+    and covers raw nuScenes intensity 0..255."""
+    import jax.numpy as jnp
+    import numpy as np
+    from futuredet_tpu.data.feed import pack_points, unpack_points
+
+    rng = np.random.default_rng(0)
+    pts = np.concatenate([
+        rng.uniform(-54, 54, (5000, 3)),
+        rng.uniform(0, 255, (5000, 1)),          # raw intensity range
+        rng.uniform(0, 1, (5000, 1))], -1).astype(np.float32)
+    wire = pack_points(pts, "int16")
+    assert wire.dtype == np.int16 and wire.nbytes * 2 == pts.nbytes
+    back = np.asarray(unpack_points(jnp.asarray(wire)))
+    assert np.abs(back[:, :3] - pts[:, :3]).max() <= 1 / 512 + 1e-6
+    assert np.abs(back[:, 3:] - pts[:, 3:]).max() <= 1 / 128 + 1e-5
+    # fp32 is the identity
+    np.testing.assert_array_equal(
+        np.asarray(unpack_points(jnp.asarray(pack_points(pts, "fp32")))),
+        pts)
+    # fp16 roundtrips within its mantissa at the range edge
+    b16 = np.asarray(unpack_points(jnp.asarray(pack_points(pts, "fp16"))))
+    assert np.abs(b16[:, :3] - pts[:, :3]).max() <= 0.04
+
+
+def test_evaluate_cli_fp32_feed_flag(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from futuredet_tpu.cli.evaluate import main as eval_main
+    s = eval_main(["--model", "forecast_n0", "--tiny", "--synthetic", "2",
+                   "--forecast_mode", "velocity_constant",
+                   "--feed_dtype", "fp32"])
+    assert "mean_dist_aps" in s

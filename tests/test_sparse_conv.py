@@ -677,3 +677,39 @@ def test_encoder_packed_pairs_mode_close_to_fp32():
     assert err < 4e-3, err
     # and the mode must not be a silent no-op: SOME difference expected
     assert float(jnp.max(jnp.abs(got_bev - ref_bev))) > 0.0
+
+
+def test_dense_rows_ov_build_strategies_agree(monkeypatch):
+    """_dense_rows_ov has two build paths split on _COLFIX_MAX_CELLS (the
+    sorted-scatter + halo-column rewrite vs the fused 3V scatter, used only
+    for the >32M-cell stage-0 map on TPU). Force each on the same grid and
+    assert identical maps — a future edit to either branch must not let
+    them diverge silently (advisor r4)."""
+    dims = (8, 10, 12)
+    coords, valid, feats = _rand_sparse(3, dims=dims)
+    grid = SC.make_grid(jnp.asarray(coords), jnp.asarray(valid), dims)
+    colfix = np.asarray(SC._dense_rows_ov(grid, dims))
+    monkeypatch.setattr(SC, "_COLFIX_MAX_CELLS", 0)
+    fused = np.asarray(SC._dense_rows_ov(grid, dims))
+    np.testing.assert_array_equal(colfix, fused)
+    # and probes through both layouts agree on every active cell
+    q = jnp.asarray(
+        np.asarray(SC.linear_ids(jnp.asarray(coords), dims))[valid],
+        jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(SC._probe_ov(jnp.asarray(colfix), q)),
+        np.asarray(SC._probe_ov(jnp.asarray(fused), q)))
+
+
+def test_check_sorted_flags_unsorted_grids():
+    """The SparseGrid sorted-ids invariant (load-bearing for the
+    indices_are_sorted scatters + xpack contiguity) — `check_sorted` holds
+    for make_grid output and flags a shuffled grid."""
+    dims = (8, 10, 12)
+    coords, valid, feats = _rand_sparse(5, dims=dims)
+    grid = SC.make_grid(jnp.asarray(coords), jnp.asarray(valid), dims)
+    assert bool(SC.check_sorted(grid, dims))
+    perm = np.random.default_rng(0).permutation(grid.ids.shape[0])
+    bad = SC.SparseGrid(coords=grid.coords[perm], ids=grid.ids[perm],
+                        valid=grid.valid[perm])
+    assert not bool(SC.check_sorted(bad, dims))

@@ -79,3 +79,43 @@ def test_voxelize_respects_point_valid_mask():
     ref_v, ref_c, ref_n = V.points_to_voxel_np(
         pts[:50], VOXEL_SIZE, PC_RANGE, max_points=5, max_voxels=500)
     assert int(out_half.num_voxels) == len(ref_c)
+
+
+def test_batched_map_run_bounds_flat_contract():
+    """_batched_point_voxel_map must emit run machinery valid in the FLAT
+    B*P segment space: segmented_run_sums over the batched map equals the
+    per-sample sums stacked (advisor r4 — run_bounds used to stay
+    per-sample-shaped while every other leaf was flattened)."""
+    import jax
+    import jax.numpy as jnp
+    from futuredet_tpu.config import ExperimentConfig, VoxelConfig
+    from futuredet_tpu.models.detector import _batched_point_voxel_map
+
+    B, P, MV = 3, 400, 64
+    rng = np.random.default_rng(7)
+    pts = np.concatenate([rng.uniform(-8, 8, (B, P, 2)),
+                          rng.uniform(-2.5, 2.5, (B, P, 1)),
+                          rng.uniform(0, 1, (B, P, 2))], -1).astype(np.float32)
+    valid = rng.random((B, P)) < 0.8
+    valid[2, :] = False            # one all-invalid sample (edge case)
+    cfg = ExperimentConfig(voxel=VoxelConfig(
+        pc_range=(-8.0, -8.0, -3.0, 8.0, 8.0, 3.0),
+        voxel_size=(0.5, 0.5, 0.5), max_points_per_voxel=5,
+        max_voxels_train=MV, max_voxels_eval=MV, max_points=P))
+    m = _batched_point_voxel_map(jnp.asarray(pts), jnp.asarray(valid),
+                                 cfg, MV)
+    assert m.run_bounds.shape == (B * MV + 1,)
+    got = np.asarray(V.segmented_run_sums(
+        jnp.where(m.valid[:, None], m.points, 0.0), m.is_first,
+        m.run_bounds))
+    want = []
+    for b in range(B):
+        mb = V.point_voxel_map(
+            jnp.asarray(pts[b]), jnp.asarray(valid[b]),
+            jnp.asarray(cfg.voxel.pc_range), jnp.asarray(cfg.voxel.voxel_size),
+            grid_size=cfg.voxel.grid_size, max_voxels=MV, max_points=5)
+        want.append(np.asarray(V.segmented_run_sums(
+            jnp.where(mb.valid[:, None], mb.points, 0.0), mb.is_first,
+            mb.run_bounds)))
+    np.testing.assert_allclose(got, np.concatenate(want), rtol=1e-5,
+                               atol=1e-5)
