@@ -170,36 +170,62 @@ def voxelize_mean(points, point_valid, pc_range, voxel_size, *,
                         grid_size=grid_size, max_voxels=max_voxels,
                         max_points=max_points)
     feats = segmented_run_sums(
-        jnp.where(m.valid[:, None], m.points, 0.0), m.is_first, m.run_bounds)
+        jnp.where(m.valid[:, None], m.points, 0.0), m.is_first, m.run_bounds,
+        max_run=max_points)
     denom = jnp.maximum(m.num_points, 1).astype(points.dtype)[:, None]
     return feats / denom, m.coords, m.num_points, m.num_voxels
 
 
-def segmented_run_sums(values, is_first, run_bounds):
+def segmented_run_sums(values, is_first, run_bounds, max_run=None):
     """Per-run sums of `values` (P, F) whose runs are CONTIGUOUS in the
     leading axis (run v = positions [run_bounds[v], run_bounds[v+1] - 1]),
     via one inclusive segmented scan + a boundary gather.
 
     Replaces `segment_sum` on the sorted voxelizer output: a P-row TPU
     scatter-add issues ~12-18 ns per row (1.4 ms at P=150k) while the
-    associative scan streams (~0.3-0.5 ms measured,
-    scripts/probe_reader.py). Unlike a plain-cumsum difference (whose fp32
+    segmented scan streams. Unlike a plain-cumsum difference (whose fp32
     error scales with the GLOBAL prefix magnitude — ~1 absolute at 150k
     points), the segmented scan's partial sums never leave the run, so
     accuracy matches per-voxel pairwise summation. Empty runs return 0.
-    """
+
+    max_run: when every run's NONZERO prefix is bounded (the voxelizer
+    masks ranks >= max_points to 0, so only the first `max_points`
+    positions of a run can be nonzero), pass that bound to run a
+    FIXED-DEPTH Hillis-Steele segmented scan (ceil(log2(max_run)) shifted
+    masked adds) instead of the full log2(P)-depth associative scan, and
+    read each run's sum at min(start + max_run - 1, end) — identical
+    result, ~5x cheaper at P=150k/max_run=10 (the scan was ~2.4 ms of
+    voxelize_mean's 3.3, scripts/probe_reader.py)."""
     P = values.shape[0]
-
-    def comb(a, b):
-        sa, fa = a
-        sb, fb = b
-        return jnp.where(fb[:, None], sb, sa + sb), fa | fb
-
-    sums, _ = jax.lax.associative_scan(comb, (values, is_first))
     V = run_bounds.shape[0] - 1
     got = run_bounds[1:] > run_bounds[:-1]
     ends = jnp.clip(run_bounds[1:] - 1, 0, P - 1)
-    return jnp.where(got[:V, None], sums[ends][:V], 0.0)
+
+    if max_run is None:
+        def comb(a, b):
+            sa, fa = a
+            sb, fb = b
+            return jnp.where(fb[:, None], sb, sa + sb), fa | fb
+
+        sums, _ = jax.lax.associative_scan(comb, (values, is_first))
+        return jnp.where(got[:V, None], sums[ends][:V], 0.0)
+
+    s, f = values, is_first
+    d = 1
+    while d < max_run:
+        # combine window (i-d, i] with the window ending at i-d: a
+        # boundary inside the current window (f) truncates the sum
+        s = s + jnp.where(
+            f[:, None], 0.0,
+            jnp.concatenate([jnp.zeros((d, s.shape[1]), s.dtype),
+                             s[:-d]], 0))
+        f = f | jnp.concatenate([jnp.ones((d,), bool), f[:-d]])
+        d *= 2
+    # window now covers >= max_run positions; every nonzero contribution
+    # of run v sits in [start, start + max_run - 1]
+    read_at = jnp.minimum(
+        jnp.clip(run_bounds[:-1], 0, P - 1) + max_run - 1, ends)
+    return jnp.where(got[:V, None], s[read_at][:V], 0.0)
 
 
 # ---------------------------------------------------------------------------

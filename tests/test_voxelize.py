@@ -119,3 +119,36 @@ def test_batched_map_run_bounds_flat_contract():
             mb.run_bounds)))
     np.testing.assert_allclose(got, np.concatenate(want), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_segmented_run_sums_fixed_depth_matches_general():
+    """max_run fixed-depth Hillis-Steele segmented scan == the general
+    associative scan, including runs much longer than max_run (their
+    ranks >= max_run are zero-masked, mirroring the voxelizer contract)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    P, F, max_run = 5000, 4, 10
+    # random run structure incl. very long runs
+    lens = []
+    while sum(lens) < P:
+        lens.append(int(rng.choice([1, 2, 3, 7, 10, 40, 500])))
+    starts = np.cumsum([0] + lens)[:-1]
+    starts = starts[starts < P]
+    is_first = np.zeros(P, bool)
+    is_first[starts] = True
+    rank = np.arange(P) - np.maximum.accumulate(np.where(is_first,
+                                                         np.arange(P), -1))
+    vals = rng.normal(size=(P, F)).astype(np.float32)
+    vals[rank >= max_run] = 0.0                      # voxelizer masking
+    V = len(starts)
+    run_bounds = np.concatenate([starts, [P] * (V + 1)])[:V + 1].astype(
+        np.int32)
+    from futuredet_tpu.ops.voxelize import segmented_run_sums
+    gen = np.asarray(segmented_run_sums(jnp.asarray(vals),
+                                        jnp.asarray(is_first),
+                                        jnp.asarray(run_bounds)))
+    fix = np.asarray(segmented_run_sums(jnp.asarray(vals),
+                                        jnp.asarray(is_first),
+                                        jnp.asarray(run_bounds),
+                                        max_run=max_run))
+    np.testing.assert_allclose(fix, gen, rtol=1e-6, atol=1e-6)
