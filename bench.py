@@ -128,6 +128,8 @@ def _bench_config(model_name):
         g = os.environ["BENCH_GROWTH"]
         mupd["middle_growth"] = None if g in ("none", "None") else tuple(
             float(x) for x in g.split(","))
+    if os.environ.get("BENCH_MAP_FORMAT"):
+        mupd["middle_map_format"] = os.environ["BENCH_MAP_FORMAT"]
     if os.environ.get("BENCH_SPARSE_DTYPE"):
         d = os.environ["BENCH_SPARSE_DTYPE"]
         mupd["middle_sparse_dtype"] = None if d in ("none", "None") else d

@@ -212,6 +212,32 @@ def main(argv=None):
     eval_classes = (list(cfg.data.class_names) if multitask
                     else [classname])
 
+    if not args.eval_only and eval_batches \
+            and cfg.model.detector == "voxelnet" \
+            and cfg.model.middle == "sparse" \
+            and not cfg.model.two_stage_refine:
+        # capacity honesty check on the first batch: the sparse middle
+        # encoder counts sites clipped by the static stage capacities
+        # (reference spconv never drops — a nonzero count means this eval
+        # is not running reference semantics). One extra forward, once.
+        from ..models.detector import (build_detector,
+                                       forward_with_drop_counters)
+        b0 = eval_batches[0]
+        _, drops = forward_with_drop_counters(
+            build_detector(cfg), {"params": state.params,
+                                  "batch_stats": state.batch_stats},
+            jax.numpy.asarray(np.asarray(b0["points"])),
+            jax.numpy.asarray(np.asarray(b0["points_valid"])), train=False)
+        if drops is not None and int(np.asarray(drops).sum()) > 0:
+            logging.warning(
+                "sparse capacity clipping on the first batch: per-stage "
+                "dropped sites %s — results diverge from reference spconv "
+                "semantics; raise middle_vmax / middle_growth",
+                np.asarray(drops).tolist())
+        else:
+            logging.info("sparse capacity check: zero dropped sites on "
+                         "the first batch")
+
     preds, gts = [], []
     saved = []
     pred_path = args.predictions_path or f"prediction_{args.model}.pkl"

@@ -212,6 +212,21 @@ class ModelConfig:
     # "window"/"window_bf16" (Pallas one-hot row-select, inference-only and
     # unbatched), or "hybrid" (window for Cin<=16, stacked otherwise)
     middle_gather_algo: str = "xpack"
+    # cell->site map representation for the xpack table builds at EVAL:
+    # "ov" (default) = full (R, 128) index-row maps. "bitmap" =
+    # popcount-bitmap rows (8 int32 lanes per 126-cell row: cumulative
+    # site count + 128-bit presence mask; site index = cum + popcount
+    # rank — exact because sorted sites covered by a row are consecutive;
+    # shrinks the stage-0 map 345 MB -> 22 MB). Round-5 back-to-back e2e
+    # A/B: bitmap 362.5/363.5 (uniform/realistic) vs ov 354.2/369.1 —
+    # +8 on the clustered-blob scene, -6 on the lidar scene, net wash;
+    # the isolated ~3 ms probe-penalty saving does NOT compose in-graph
+    # (XLA overlaps probe latency with surrounding work). ov stays the
+    # default for the better physical-scene number; the knob is exact
+    # (bit-identical tables, tests/test_sparse_conv.py) either way.
+    # Training always builds ov maps (the strided-conv custom VJPs probe
+    # them for inverse tables).
+    middle_map_format: str = "ov"
     # widest Cin the x-packed gather path covers. Round-4 re-sweep at
     # honest caps (scripts/probe_wide_xpack.py): conv_x3 wins at Cin=64
     # (1.71 vs 2.59 ms stacked, V=31.5k — the old Cin<=32 verdict predates

@@ -164,6 +164,7 @@ class VoxelNetDetector(nn.Module):
                          if c.model.middle_dense_dtype == "bfloat16"
                          else None),
             gather_algo=algo,
+            map_format=c.model.middle_map_format,
             xpack_max_cin=c.model.middle_xpack_max_cin,
             sparse_dtype=(jnp.bfloat16
                           if c.model.middle_sparse_dtype == "bfloat16"

@@ -30,7 +30,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.sparse_conv import (_dense_index_rows, _dense_rows_ov,
+from ..ops.sparse_conv import (_bitmap_rows_ov, _dense_index_rows,
+                               _dense_rows_ov,
                                downsample_coords, make_grid, neighbor_table,
                                scatter_dense, strided_xpack_tables,
                                subm_xpack_tables,
@@ -203,6 +204,11 @@ class SparseMiddleEncoder(nn.Module):
     # per conv at V=31.5k, scripts/probe_shift_unpack.py). Serving mode:
     # eval-only (no VJP), inputs bf16-truncated at those stages.
     packed_pairs: bool = False
+    # cell->site map representation for eval-time xpack table builds:
+    # "ov" (default) or "bitmap" (popcount rows — see config.py
+    # middle_map_format for the measured A/B). Training always uses ov
+    # (inverse tables probe the maps directly).
+    map_format: str = "ov"
     # caller guarantees (coords, feats) already sorted ascending by the
     # grid's z-major linear id with padding at the end — true for
     # ops.voxelize outputs (same sort key) — skipping the entry argsorts
@@ -249,9 +255,15 @@ class SparseMiddleEncoder(nn.Module):
         def make_map(grid, dims):
             # xpack probes the overlapped-row layout (halo lanes carry the
             # x-neighbor cells) — 9 probes/table at EVERY stage; stages
-            # whose conv runs stacked unpack the 27-row form on the fly
-            return _dense_rows_ov(grid, dims) if packed_layout \
-                else _dense_index_rows(grid, dims)
+            # whose conv runs stacked unpack the 27-row form on the fly.
+            # Eval uses the compact popcount-bitmap maps when configured
+            # (train keeps ov: the strided custom VJPs' inverse tables
+            # probe the maps directly)
+            if not packed_layout:
+                return _dense_index_rows(grid, dims)
+            if self.map_format == "bitmap" and not train:
+                return _bitmap_rows_ov(grid, dims)
+            return _dense_rows_ov(grid, dims)
 
         def subm_table(grid, dims, dense_map):
             if packed_layout:

@@ -227,6 +227,110 @@ def _probe3(dense_ov: jax.Array, q: jax.Array):
     return tuple(out)
 
 
+# ---------------------------------------------------------------------------
+# popcount-bitmap cell maps: 8 int32 lanes per 126-cell row instead of 128
+# ---------------------------------------------------------------------------
+# Same overlapped-row coverage as `_dense_rows_ov` (row r covers cells
+# [126r - 1, 126r + 126] at lanes [0, 127]), but a row stores only
+#   lane 0    : cum  = #sites with cell id < 126*r
+#   lanes 1-4 : 128-bit presence bitmap (bit l of the 4 uint32 words ==
+#               cell 126r - 1 + l is an active site)
+#   lanes 5-7 : zero padding (8-lane rows gather at the same per-row cost)
+# Site index recovery: sites are sorted by cell id, so the sites covered by
+# a row are CONSECUTIVE array rows; index(cell at lane l) =
+#   (cum - bit(lane 0)) + popcount(bits below l).
+# The s0 map shrinks 345 MB -> ~22 MB, probes leave the large-operand
+# gather-penalty regime (~6-10 ns/row -> ~3), and the build fill is 16x
+# smaller. Semantics (V where absent, sentinel handling) match `_probe3`
+# exactly — asserted bit-for-bit by tests/test_sparse_conv.py.
+
+def _bitmap_rows_ov(grid: SparseGrid, dims) -> jax.Array:
+    """Popcount-bitmap overlapped cell map, (R, 8) int32."""
+    V = grid.ids.shape[0]
+    S, L = _OV_STRIDE, _PROBE_LANES
+    total = dims[0] * dims[1] * dims[2]
+    rows = total // S + 3
+    ids = grid.ids
+    r0 = ids // S
+    lane = ids - S * r0 + 1                                # [1, 126]
+    trash = rows * 4
+    words = jnp.zeros((rows * 4 + 1,), jnp.uint32)
+
+    def entries(rr, ll, ok):
+        w = jnp.where(ok, rr * 4 + (ll >> 5), trash)
+        v = jnp.where(ok, jnp.left_shift(jnp.uint32(1),
+                                         (ll & 31).astype(jnp.uint32)),
+                      jnp.uint32(0))
+        return w, v
+
+    w_m, v_m = entries(r0, lane, grid.valid)
+    # cell 126r also sits at lane 127 of row r-1; cell 126r - 1 at lane 0
+    # of row r+1 (mirrors _dense_rows_ov's halo columns)
+    w_n, v_n = entries(r0 - 1, jnp.full_like(lane, L - 1),
+                       grid.valid & (lane == 1) & (r0 > 0))
+    w_p, v_p = entries(r0 + 1, jnp.zeros_like(lane),
+                       grid.valid & (lane == S))
+    words = words.at[jnp.concatenate([w_m, w_n, w_p])].add(
+        jnp.concatenate([v_m, v_n, v_p]))
+    words = words[:-1].reshape(rows, 4)
+    pc = lax.population_count(words)
+    # unique (main, lanes 1..126) count per row = total bits - halo bits
+    halo0 = (words[:, 0] & 1).astype(jnp.int32)
+    halo127 = (words[:, 3] >> 31).astype(jnp.int32)
+    unique = jnp.sum(pc, 1).astype(jnp.int32) - halo0 - halo127
+    cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                           jnp.cumsum(unique)[:-1]])
+    return jnp.concatenate(
+        [cum[:, None],
+         lax.bitcast_convert_type(words, jnp.int32).reshape(rows, 4),
+         jnp.zeros((rows, 3), jnp.int32)], 1)
+
+
+def _bm_lookup(row_words, row_pc, base, l, V):
+    """Index of the site at lane l (int32, any shape) of gathered bitmap
+    rows; V where absent. row_words (..., 4) uint32; row_pc (..., 4);
+    base (...,) int32."""
+    w = l >> 5
+    b = (l & 31).astype(jnp.uint32)
+    ar4 = jnp.arange(4, dtype=jnp.int32)
+    word = jnp.sum(jnp.where(w[..., None] == ar4, row_words, 0), -1)
+    present = ((word >> b) & 1).astype(bool)
+    below = lax.population_count(
+        word & (jnp.left_shift(jnp.uint32(1), b) - 1)).astype(jnp.int32)
+    full = jnp.sum(jnp.where(w[..., None] > ar4,
+                             row_pc.astype(jnp.int32), 0), -1)
+    return jnp.where(present, base + full + below, V).astype(jnp.int32)
+
+
+def _probe3_bm(bm: jax.Array, q: jax.Array, V: int):
+    """`_probe3` on a `_bitmap_rows_ov` map (needs V explicitly — the
+    bitmap stores ranks, not indices)."""
+    S = _OV_STRIDE
+    r = q // S
+    row = bm[r]                                            # (..., 8)
+    words = lax.bitcast_convert_type(row[..., 1:5], jnp.uint32)
+    pc = lax.population_count(words)
+    base = row[..., 0] - (words[..., 0] & 1).astype(jnp.int32)
+    lane = q - S * r + 1                                   # [1, 126]
+    return tuple(_bm_lookup(words, pc, base, lane + d, V)
+                 for d in (-1, 0, 1))
+
+
+def _probe_bm(bm: jax.Array, q: jax.Array, V: int):
+    """Single-cell `_probe_ov` equivalent on a bitmap map."""
+    S = _OV_STRIDE
+    r = q // S
+    row = bm[r]
+    words = lax.bitcast_convert_type(row[..., 1:5], jnp.uint32)
+    pc = lax.population_count(words)
+    base = row[..., 0] - (words[..., 0] & 1).astype(jnp.int32)
+    return _bm_lookup(words, pc, base, q - S * r + 1, V)
+
+
+def _is_bitmap_map(m: jax.Array) -> bool:
+    return m.ndim == 2 and m.shape[1] == 8
+
+
 _XP_IDX_BITS = 20                 # site index (< 2^20; caps are <= 160k)
 _XP_IDX_MASK = (1 << _XP_IDX_BITS) - 1
 
@@ -248,7 +352,10 @@ def _xpack_tables(query_cells, query_x, query_valid, dims, dense_ov, V):
     # sentinel total+1: _probe3 touches cells q-1..q+1, and total-1 is a
     # real cell — total+1 keeps the whole probed triple out of range
     q = jnp.where(query_valid, query_cells, total + 1)
-    i_m1, i_0, i_p1 = _probe3(dense_ov, q)
+    if _is_bitmap_map(dense_ov):
+        i_m1, i_0, i_p1 = _probe3_bm(dense_ov, q, V)
+    else:
+        i_m1, i_0, i_p1 = _probe3(dense_ov, q)
     X = dims[2]
     i_m1 = jnp.where((query_x > 0)[None, :], i_m1, V)
     i_p1 = jnp.where((query_x < X - 1)[None, :], i_p1, V)
@@ -600,7 +707,9 @@ def strided_inverse_table(in_grid: SparseGrid, out_dims,
     used by its custom VJP.
     `dense_rows_out` = `_dense_index_rows(out_grid, out_dims)`, or the
     `_dense_rows_ov` overlapped map with `ov=True` (the packed-table
-    layout, so training can reuse the 9-probe builds' maps)."""
+    layout, so training can reuse the 9-probe builds' maps). Bitmap maps
+    are not supported here (train-only path; the encoder builds ov maps
+    under train)."""
     total = out_dims[0] * out_dims[1] * out_dims[2]
     offs = np.array(_offsets(kernel), np.int32)              # (K, 3)
     shift = np.array([1 - pads[0], 1 - pads[1], 1 - pads[2]], np.int32)
@@ -611,6 +720,8 @@ def strided_inverse_table(in_grid: SparseGrid, out_dims,
                   axis=-1)
     q = (oc[..., 0] * out_dims[1] + oc[..., 1]) * out_dims[2] + oc[..., 2]
     q = jnp.where(even & inb & in_grid.valid[None, :], q, total)
+    assert not _is_bitmap_map(dense_rows_out), \
+        "inverse tables require an ov/plain map (train path builds those)"
     return _probe_ov(dense_rows_out, q) if ov else _probe(dense_rows_out, q)
 
 

@@ -269,3 +269,38 @@ def test_pillars_path_has_no_counters():
     _, drops = forward_with_drop_counters(model, variables, x, v,
                                           train=False)
     assert drops is None
+
+
+def test_blob_uniform_bench_scene_zero_drops():
+    """The round-5 capacity-safe blobbed-uniform bench scene must stay
+    inside the shipped growth bounds at bench scale (bench.py asserts
+    nothing — it only reports; this guard catches blob-geometry
+    regressions before a bench run does)."""
+    import dataclasses
+
+    import bench
+    from futuredet_tpu.ops.sparse_conv import downsample_coords, make_grid
+    from futuredet_tpu.ops.voxelize import voxelize_mean
+
+    cfg = get_config("forecast_n3dtf")
+    cfg = cfg.replace(voxel=dataclasses.replace(
+        cfg.voxel, max_points=150000, max_voxels_eval=30000))
+    gx, gy, gz = cfg.voxel.grid_size
+    max_v = cfg.voxel.max_voxels_eval
+    caps = middle_stage_caps(cfg.model, max_v)
+    pts, valid = bench._uniform_blob_points(cfg, 1,
+                                            np.random.default_rng(0))
+    _, coords, _, _ = voxelize_mean(
+        jnp.asarray(pts[0]), jnp.asarray(valid[0]),
+        jnp.asarray(cfg.voxel.pc_range), jnp.asarray(cfg.voxel.voxel_size),
+        grid_size=cfg.voxel.grid_size, max_voxels=max_v,
+        max_points=cfg.voxel.max_points_per_voxel)
+    grid = make_grid(coords, coords[:, 0] >= 0, (gz + 1, gy, gx))
+    dims = (gz + 1, gy, gx)
+    for s in range(1, 4):
+        pads = (0, 1, 1) if s == 3 else (1, 1, 1)
+        od = tuple((d + 2 * p - 3) // 2 + 1 for d, p in zip(dims, pads))
+        grid, dropped = downsample_coords(grid, od, caps[s], pads,
+                                          with_dropped=True)
+        dims = od
+        assert int(dropped) == 0, (s, int(dropped), caps)

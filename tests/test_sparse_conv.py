@@ -713,3 +713,78 @@ def test_check_sorted_flags_unsorted_grids():
     bad = SC.SparseGrid(coords=grid.coords[perm], ids=grid.ids[perm],
                         valid=grid.valid[perm])
     assert not bool(SC.check_sorted(bad, dims))
+
+
+def _random_grid(seed, dims, n, V):
+    rng = np.random.default_rng(seed)
+    total = dims[0] * dims[1] * dims[2]
+    lin = rng.choice(total, n, replace=False)
+    coords = np.full((V, 3), -1, np.int32)
+    coords[:n, 0] = lin // (dims[1] * dims[2])
+    coords[:n, 1] = (lin // dims[2]) % dims[1]
+    coords[:n, 2] = lin % dims[2]
+    valid = np.zeros(V, bool)
+    valid[:n] = True
+    return SC.make_grid(jnp.asarray(coords), jnp.asarray(valid), dims)
+
+
+def test_bitmap_map_probes_match_ov_map():
+    """The popcount-bitmap cell map must return bit-identical site
+    indices to the full ov map — single probes (_probe_bm vs _probe_ov)
+    and the xpack triple probes, over every cell id incl. 126-row
+    boundaries and the sentinel."""
+    dims = (4, 7, 300)                      # x spans multiple 126-rows
+    V = 512
+    for seed in range(3):
+        grid = _random_grid(seed, dims, 300, V)
+        ov = SC._dense_rows_ov(grid, dims)
+        bm = SC._bitmap_rows_ov(grid, dims)
+        assert bm.shape[1] == 8
+        total = dims[0] * dims[1] * dims[2]
+        q = jnp.arange(total + 2, dtype=jnp.int32)   # every cell + sentinel
+        np.testing.assert_array_equal(
+            np.asarray(SC._probe_bm(bm, q, V)),
+            np.asarray(SC._probe_ov(ov, q)))
+        for a, b in zip(SC._probe3_bm(bm, q[1:], V), SC._probe3(ov, q[1:])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bitmap_map_xpack_tables_match():
+    """subm + strided xpack tables built over the bitmap map equal the
+    ov-map-built ones bit for bit."""
+    dims = (6, 10, 260)
+    V = 512
+    grid = _random_grid(7, dims, 350, V)
+    ov = SC._dense_rows_ov(grid, dims)
+    bm = SC._bitmap_rows_ov(grid, dims)
+    np.testing.assert_array_equal(
+        np.asarray(SC.subm_xpack_tables(grid, dims, dense_ov=bm)),
+        np.asarray(SC.subm_xpack_tables(grid, dims, dense_ov=ov)))
+    out_dims = tuple((d + 2 - 3) // 2 + 1 for d in dims)
+    ngrid = SC.downsample_coords(grid, out_dims, 512)
+    np.testing.assert_array_equal(
+        np.asarray(SC.strided_xpack_tables(grid, ngrid, dims, dense_ov=bm)),
+        np.asarray(SC.strided_xpack_tables(grid, ngrid, dims, dense_ov=ov)))
+
+
+def test_encoder_bitmap_map_matches_ov():
+    """SparseMiddleEncoder output identical under map_format bitmap/ov."""
+    from futuredet_tpu.models.middle import SparseMiddleEncoder
+    import jax
+
+    dims = (9, 12, 140)
+    V = 256
+    rng = np.random.default_rng(1)
+    grid = _random_grid(11, dims, 200, V)
+    feats = jnp.asarray(rng.normal(size=(V, 4)).astype(np.float32))
+    kw = dict(channels=(4, 8, 8, 8), vmax=(256, 256, 128, 64),
+              grid_zyx=dims, gather_algo="xpack", assume_sorted=True)
+    outs = {}
+    for fmt in ("ov", "bitmap"):
+        enc = SparseMiddleEncoder(**kw, map_format=fmt)
+        vs = enc.init(jax.random.PRNGKey(0), feats, grid.coords, grid.valid,
+                      False)
+        y, zm = enc.apply(vs, feats, grid.coords, grid.valid, False)
+        outs[fmt] = (np.asarray(y), np.asarray(zm))
+    np.testing.assert_array_equal(outs["ov"][0], outs["bitmap"][0])
+    np.testing.assert_array_equal(outs["ov"][1], outs["bitmap"][1])
