@@ -221,9 +221,11 @@ class ModelConfig:
     # A/B: bitmap 362.5/363.5 (uniform/realistic) vs ov 354.2/369.1 —
     # +8 on the clustered-blob scene, -6 on the lidar scene, net wash;
     # the isolated ~3 ms probe-penalty saving does NOT compose in-graph
-    # (XLA overlaps probe latency with surrounding work). ov stays the
-    # default for the better physical-scene number; the knob is exact
-    # (bit-identical tables, tests/test_sparse_conv.py) either way.
+    # ("bitmap0" — stage 0 only — pinned the lidar loss to stage 0: the
+    # penalty is page-locality, and concentrated lidar probes keep the ov
+    # map's hot pages resident). ov stays the default for the better
+    # physical-scene number; the knob is exact (bit-identical tables,
+    # tests/test_sparse_conv.py) either way.
     # Training always builds ov maps (the strided-conv custom VJPs probe
     # them for inverse tables).
     middle_map_format: str = "ov"

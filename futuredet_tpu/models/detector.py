@@ -311,9 +311,13 @@ def extract_dropped_sites(intermediates) -> Optional[jnp.ndarray]:
 def forward_with_drop_counters(model, variables, points, points_valid,
                                **kwargs):
     """model.apply that also returns the sparse middle encoder's per-stage
-    dropped-site counters (None for models without one)."""
+    dropped-site counters (None for models without one). Works under
+    train=True too (BN stat updates are collected and discarded)."""
+    mutable = ["intermediates"]
+    if kwargs.get("train"):
+        mutable.append("batch_stats")
     preds, mut = model.apply(variables, points, points_valid,
-                             mutable=["intermediates"], **kwargs)
+                             mutable=mutable, **kwargs)
     return preds, extract_dropped_sites(mut.get("intermediates", {}))
 
 

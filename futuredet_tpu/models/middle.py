@@ -252,16 +252,20 @@ class SparseMiddleEncoder(nn.Module):
         # consume them via unpack_xpack_tables (bit-identical tables)
         packed_layout = self.gather_algo == "xpack"
 
-        def make_map(grid, dims):
+        def make_map(grid, dims, stage=0):
             # xpack probes the overlapped-row layout (halo lanes carry the
             # x-neighbor cells) — 9 probes/table at EVERY stage; stages
             # whose conv runs stacked unpack the 27-row form on the fly.
             # Eval uses the compact popcount-bitmap maps when configured
-            # (train keeps ov: the strided custom VJPs' inverse tables
-            # probe the maps directly)
+            # ("bitmap" everywhere, "bitmap0" at stage 0 only — where the
+            # 345 MB ov map pays the large-operand probe penalty; train
+            # keeps ov: the strided custom VJPs' inverse tables probe the
+            # maps directly)
             if not packed_layout:
                 return _dense_index_rows(grid, dims)
-            if self.map_format == "bitmap" and not train:
+            bm = self.map_format == "bitmap" or (
+                self.map_format == "bitmap0" and stage == 0)
+            if bm and not train:
                 return _bitmap_rows_ov(grid, dims)
             return _dense_rows_ov(grid, dims)
 
@@ -329,7 +333,7 @@ class SparseMiddleEncoder(nn.Module):
             # one cell->site map per stage, shared by the stage's subm
             # table and the next stage's strided table
             a0 = stage_algo(0)
-            dense_map = make_map(grid, dims)
+            dense_map = make_map(grid, dims, stage=0)
             table = subm_table(grid, dims, dense_map)
             x = SparseConv(self.channels[0], use_bias=False,
                            gather_algo=a0, symmetric=True,
@@ -389,7 +393,7 @@ class SparseMiddleEncoder(nn.Module):
                     dtable = strided_gather_table(grid, ngrid, dims,
                                                   dense_rows=dense_map,
                                                   pads=pads)
-                ndense_map = make_map(ngrid, out_dims)
+                ndense_map = make_map(ngrid, out_dims, stage=s)
                 # inverse table only feeds the strided conv's custom VJP —
                 # skip the build at eval
                 inv = strided_inverse_table(grid, out_dims, ndense_map,

@@ -147,6 +147,27 @@ def train(cfg: ExperimentConfig, batches: Iterable[dict], *,
         state = init_transform(state)
     step_fn = make_train_step(cfg, mesh, total_steps)
 
+    if (cfg.model.detector == "voxelnet" and cfg.model.middle == "sparse"
+            and not cfg.model.two_stage_refine):
+        # capacity honesty check (one extra forward on the first batch):
+        # nonzero clipped-site counters mean the TRAIN capacities
+        # (max_voxels_train x growth bounds) diverge from reference
+        # spconv semantics on this data — mirror of the eval CLI check
+        from ..models.detector import (build_detector,
+                                       forward_with_drop_counters)
+        _, drops = forward_with_drop_counters(
+            build_detector(cfg),
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jax.numpy.asarray(first["points"][:1]),
+            jax.numpy.asarray(first["points_valid"][:1]), train=True)
+        import numpy as _np
+        if drops is not None and int(_np.asarray(drops).sum()) > 0:
+            log.warning(
+                "sparse capacity clipping on the first train sample: "
+                "per-stage dropped sites %s — raise middle_vmax / "
+                "middle_growth for reference-semantics training",
+                _np.asarray(drops).tolist())
+
     ckpt = CheckpointManager(work_dir) if work_dir else None
     start_step = 0
     if resume and ckpt and ckpt.latest_step() is not None:
