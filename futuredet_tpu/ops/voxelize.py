@@ -85,7 +85,12 @@ def point_voxel_map(points, point_valid, pc_range, voxel_size, *,
     sentinel = gx * gy * gz
     vid = jnp.where(ok, vid, sentinel)
 
-    # stable sort by voxel id keeps FCFS order within each voxel
+    # stable sort by voxel id keeps FCFS order within each voxel.
+    # (Carrying the point columns as lax.sort payload operands measures
+    # the same as the bare argsort in ISOLATION (~0.47 ms incl. 5
+    # payloads) and should delete the 0.9 ms `points[order]` row gather —
+    # but the e2e A/B is 3.6 sweeps/s WORSE on both scenes: in-graph the
+    # multi-operand sort defeats surrounding fusion. Round-5 ledger.)
     order = jnp.argsort(vid, stable=True)
     svid = vid[order]
     spts = points[order]
