@@ -146,3 +146,22 @@ def test_evaluate_cli_fp32_feed_flag(tmp_path, monkeypatch):
                    "--forecast_mode", "velocity_constant",
                    "--feed_dtype", "fp32"])
     assert "mean_dist_aps" in s
+
+
+def test_evaluate_cli_tta_with_int16_feed(tmp_path, monkeypatch):
+    """Double-flip TTA must decode the compact wire feed BEFORE flipping
+    (negating int16 fixed-point coordinates directly would be a silent
+    half-ulp skew; the CLI unpacks at the top of the jitted program)."""
+    monkeypatch.chdir(tmp_path)
+    from futuredet_tpu.cli.evaluate import main as eval_main
+    s16 = eval_main(["--model", "pp_forecast_n3dtf", "--tiny",
+                     "--synthetic", "2", "--forecast_mode",
+                     "velocity_dense", "--tta", "map"])
+    s32 = eval_main(["--model", "pp_forecast_n3dtf", "--tiny",
+                     "--synthetic", "2", "--forecast_mode",
+                     "velocity_dense", "--tta", "map",
+                     "--feed_dtype", "fp32"])
+    # <=2 mm point quantization cannot move the tiny-scene metrics
+    for k in ("mean_dist_aps",):
+        for cls in s32[k]:
+            assert abs(s16[k][cls] - s32[k][cls]) < 0.05, (k, cls)

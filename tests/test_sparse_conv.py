@@ -780,11 +780,12 @@ def test_encoder_bitmap_map_matches_ov():
     kw = dict(channels=(4, 8, 8, 8), vmax=(256, 256, 128, 64),
               grid_zyx=dims, gather_algo="xpack", assume_sorted=True)
     outs = {}
-    for fmt in ("ov", "bitmap"):
+    for fmt in ("ov", "bitmap", "bitmap0"):
         enc = SparseMiddleEncoder(**kw, map_format=fmt)
         vs = enc.init(jax.random.PRNGKey(0), feats, grid.coords, grid.valid,
                       False)
         y, zm = enc.apply(vs, feats, grid.coords, grid.valid, False)
         outs[fmt] = (np.asarray(y), np.asarray(zm))
-    np.testing.assert_array_equal(outs["ov"][0], outs["bitmap"][0])
-    np.testing.assert_array_equal(outs["ov"][1], outs["bitmap"][1])
+    for fmt in ("bitmap", "bitmap0"):
+        np.testing.assert_array_equal(outs["ov"][0], outs[fmt][0])
+        np.testing.assert_array_equal(outs["ov"][1], outs[fmt][1])
