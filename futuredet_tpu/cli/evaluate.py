@@ -105,7 +105,10 @@ def main(argv=None):
         eval_batches = []
     elif args.synthetic:
         from ..data.synthetic import make_batch
-        eval_batches = [make_batch(cfg, args.batch_size, seed=args.seed + i)
+        # physical lidar-statistics clutter (see cli/train.py): keeps the
+        # sparse generative capacities clip-free on synthetic eval
+        eval_batches = [make_batch(cfg, args.batch_size, seed=args.seed + i,
+                                   clutter_mode="lidar")
                         for i in range(max(args.synthetic // args.batch_size, 1))]
         for i, b in enumerate(eval_batches):
             b["tokens"] = [f"syn{i}_{j}" for j in range(args.batch_size)]

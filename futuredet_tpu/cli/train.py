@@ -34,6 +34,10 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic scenes instead of real data")
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--checkpoint_interval", type=int, default=None,
+                   help="epochs between checkpoint saves (default: every "
+                        "epoch, matching the reference CheckpointHook "
+                        "interval=1)")
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--work_dir", default=None)
     p.add_argument("--resume_from", action="store_true")
@@ -88,11 +92,13 @@ def main(argv=None):
     if args.tiny:
         from ..config import tiny_variant
         cfg = tiny_variant(cfg)
-    if args.epochs:
+    if args.epochs or args.checkpoint_interval:
         cfg = cfg.replace(train=cfg.train.__class__(
-            total_epochs=args.epochs, optim=cfg.train.optim, seed=args.seed,
+            total_epochs=args.epochs or cfg.train.total_epochs,
+            optim=cfg.train.optim, seed=args.seed,
             log_interval=cfg.train.log_interval,
-            checkpoint_interval_epochs=cfg.train.checkpoint_interval_epochs))
+            checkpoint_interval_epochs=args.checkpoint_interval
+            or cfg.train.checkpoint_interval_epochs))
 
     if args.autoscale_lr:
         import dataclasses as _dc
@@ -112,8 +118,12 @@ def main(argv=None):
         n_batches = max(args.synthetic // batch_size, 1)
         cached = []
         for i in range(n_batches):
+            # lidar-statistics clutter (multi-hit adjacency): uniform
+            # speckle is a non-physical worst case for the generative
+            # sparse capacities and clips at train caps (the capacity
+            # warning below fires); physical scenes train clip-free
             b = make_batch(cfg, batch_size, seed=args.seed + i,
-                           device_targets=True)
+                           device_targets=True, clutter_mode="lidar")
             b.pop("gt")
             cached.append(b)
         batches = itertools.cycle(cached)
@@ -165,7 +175,8 @@ def main(argv=None):
         from ..eval.evaluator import evaluate_detections
         from ..train.step import make_eval_forward
 
-        vb = make_batch(cfg, max(args.val_synthetic, 1), seed=10_000)
+        vb = make_batch(cfg, max(args.val_synthetic, 1), seed=10_000,
+                        clutter_mode="lidar")
         vgt = vb.pop("gt")
         # the jitted forward only reads these keys — don't ship targets
         vin = {k: v for k, v in vb.items()

@@ -15,8 +15,14 @@ from .step import TrainState
 
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 5):
+        import os
+
+        # orbax's tensorstore layer REJECTS relative paths at save time
+        # (deep inside the async write, after the manager happily
+        # initialized) — a relative --work_dir used to crash the first
+        # epoch checkpoint. Normalize here.
         self.mgr = ocp.CheckpointManager(
-            directory,
+            os.path.abspath(directory),
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
                                                  create=True))
 

@@ -165,3 +165,29 @@ def test_evaluate_cli_tta_with_int16_feed(tmp_path, monkeypatch):
     for k in ("mean_dist_aps",):
         for cls in s32[k]:
             assert abs(s16[k][cls] - s32[k][cls]) < 0.05, (k, cls)
+
+
+def test_relative_work_dir_checkpoints(tmp_path, monkeypatch):
+    """Relative --work_dir/--checkpoint_dir must work: orbax rejects
+    relative paths deep inside the async save (after training started),
+    which used to crash the first epoch checkpoint and leave eval
+    silently restoring nothing (round-5 TPU smoke regression)."""
+    monkeypatch.chdir(tmp_path)
+    from futuredet_tpu.cli.evaluate import main as eval_main
+    from futuredet_tpu.cli.train import main as train_main
+    train_main(["--model", "forecast_n0", "--tiny", "--synthetic", "2",
+                "--epochs", "1", "--batch_size", "1",
+                "--work_dir", "relckpt"])
+    assert any(p.name.isdigit() for p in (tmp_path / "relckpt").iterdir()), \
+        list((tmp_path / "relckpt").iterdir())
+    # the relative path resolves for restore too (the eval CLI falls back
+    # to random init ONLY when latest_step() is None / restore raises —
+    # non-None here proves the restore path it takes is live). NB: can't
+    # assert on log records — eval_main's basicConfig(force=True) drops
+    # externally-attached handlers.
+    from futuredet_tpu.train.checkpoints import CheckpointManager
+    assert CheckpointManager("relckpt").latest_step() is not None
+    s = eval_main(["--model", "forecast_n0", "--tiny", "--synthetic", "2",
+                   "--forecast_mode", "velocity_constant",
+                   "--checkpoint_dir", "relckpt"])
+    assert "mean_dist_aps" in s
