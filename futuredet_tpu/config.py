@@ -181,8 +181,13 @@ class ModelConfig:
     # active-site capacity CEILING per stage (static buffers for the
     # gather-scatter submanifold convs). The detector sizes each stage at
     # min(middle_vmax[s], ceil(middle_growth[s] * voxelizer cap)) so the
-    # buffers track the input budget instead of paying a fixed worst case
-    middle_vmax: Tuple[int, ...] = (120000, 96000, 63000, 42000)
+    # buffers track the input budget instead of paying a fixed worst case.
+    # At the 120k TRAIN budget these ceilings bind below the growth rule;
+    # round-5 sweep of the physical families at train scale (5 scenes,
+    # docs/ROADMAP.md): heavy-GT-AUG stage-1 peaks at 106.1k sites — the
+    # old ceiling 96000 clipped 10.1k of them. 112000 = observed max +
+    # ~5% margin; stages 2/3 peak at 56.8k/31.1k (11%/35% margin kept).
+    middle_vmax: Tuple[int, ...] = (120000, 112000, 63000, 42000)
     # generative strided-conv site growth bound per downsample stage,
     # relative to the VOXELIZER cap. Round-4 envelope (scripts/occupancy.py
     # sweep over the physical scene families lidar/urban/highway/gtaug x 3

@@ -304,3 +304,40 @@ def test_blob_uniform_bench_scene_zero_drops():
                                           with_dropped=True)
         dims = od
         assert int(dropped) == 0, (s, int(dropped), caps)
+
+
+@pytest.mark.slow
+def test_scene_families_zero_drops_at_train_scale():
+    """The vmax CEILINGS bind below the growth rule at the 120k train
+    budget — they too must cover every physical scene family (round-5
+    find: heavy-GT-AUG stage-1 needed 106.1k sites and the old 96000
+    ceiling clipped 10.1k; training silently left reference semantics)."""
+    import dataclasses
+
+    from futuredet_tpu.data.synthetic import SCENE_FAMILIES, \
+        make_family_scene
+    from futuredet_tpu.ops.sparse_conv import downsample_coords, make_grid
+    from futuredet_tpu.ops.voxelize import voxelize_mean
+
+    cfg = get_config("forecast_n3dtf")      # train defaults: 300k/120k
+    gx, gy, gz = cfg.voxel.grid_size
+    max_v = cfg.voxel.max_voxels_train
+    caps = middle_stage_caps(cfg.model, max_v)
+    for family in SCENE_FAMILIES:
+        sc = make_family_scene(cfg, family, cfg.voxel.max_points, seed=7)
+        _, coords, _, _ = voxelize_mean(
+            jnp.asarray(sc.points), jnp.asarray(sc.points_valid),
+            jnp.asarray(cfg.voxel.pc_range),
+            jnp.asarray(cfg.voxel.voxel_size),
+            grid_size=cfg.voxel.grid_size, max_voxels=max_v,
+            max_points=cfg.voxel.max_points_per_voxel)
+        grid = make_grid(coords, coords[:, 0] >= 0, (gz + 1, gy, gx))
+        dims = (gz + 1, gy, gx)
+        for s in range(1, 4):
+            pads = (0, 1, 1) if s == 3 else (1, 1, 1)
+            od = tuple((d + 2 * p - 3) // 2 + 1
+                       for d, p in zip(dims, pads))
+            grid, dropped = downsample_coords(grid, od, caps[s], pads,
+                                              with_dropped=True)
+            dims = od
+            assert int(dropped) == 0, (family, s, int(dropped), caps)
